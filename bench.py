@@ -1,0 +1,99 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship end-to-end docs/sec (langid + perplexity + rules + scrub) is
+also reported under "docs_per_sec".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "quality_pipeline_docs",
+    "doc_textstats",
+    "doc_quality_rules",
+    "doc_rule_hit_counts",
+    "type_profile_customer",
+    "pattern_freq_cname",
+    "topk_event_types",
+    "cardinality_exact",
+    "summary_lquantity",
+    "histogram_lquantity",
+    "quantiles_lquantity",
+    "fingerprint_dedup_pname",
+    "survivorship_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from data_quality_spark.queries import QUERIES
+    from data_quality_spark.session import get_spark
+
+    spark = get_spark(app_name="dqs-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    def force(df):
+        """Materialize EVERY column (count() alone lets Catalyst prune the
+        work away): one pass computing a checksum over all columns."""
+        cols = [F.col(c).cast("string") for c in df.columns]
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_003))).alias("chk"),
+        ).collect()[0]
+        return row["n"]
+
+    # Warm-up: fully materialize the flagship pipeline once on the tiny tier
+    # so one-time costs (whole-stage-codegen compile, Python UDF worker spawn
+    # + imports, JIT) don't pollute per-query timings — at real scale these
+    # amortize to zero over hours of work.
+    force(QUERIES["quality_pipeline_docs"](spark, "/root/testdata/sf0.001"))
+
+    # Two runs per query, report the warm one: the first run of each distinct
+    # plan pays whole-stage-codegen compilation (constant, amortized at real
+    # scale); the warm run is the steady-state throughput that matters.
+    timings: dict[str, float] = {}
+    n_docs = 0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            cnt = force(df)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        if name == "quality_pipeline_docs":
+            n_docs = cnt
+
+    total = round(sum(timings.values()), 3)
+    e2e = timings["quality_pipeline_docs"]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "docs_per_sec": round(n_docs / e2e, 1) if e2e else None,
+                "e2e_docs": n_docs,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

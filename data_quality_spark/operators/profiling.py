@@ -1,0 +1,228 @@
+"""Column profiling operators: type voting, pattern frequency, cardinality,
+numeric summary, histogram, quantiles, text length, top-k frequency.
+
+Each mirrors one reference analyzer (SURVEY.md §2.3/2.4) as a single
+DataFrame aggregation — partial aggregation (map-side combine) replaces the
+reference's mergeable stats beans (`ValueQualityStatistics.mergeCounts`,
+`ConcurrentAnalyzer` clone+merge).  At 100 TB every operator here is one scan
++ one (or zero) shuffles of pre-aggregated partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import typeinfer as ti
+
+# ---------------------------------------------------------------------------
+# Type inference (DataTypeAnalyzer + DataTypeOccurences)
+# ---------------------------------------------------------------------------
+
+
+def data_type_counts(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column occurrence count of each DataTypeEnum verdict.
+
+    Output: (column_name, data_type, cnt).  One scan; the per-column
+    classification expressions are stacked with a posexplode so all columns
+    profile in a single aggregate (Analyzers.with one-pass semantics).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                ti.classify(F.col(c).cast("string")).alias("data_type"),
+            )
+            for c in columns
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.column_name").alias("column_name"), F.col("p.data_type").alias("data_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dominant_type(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Threshold-voted column type (DataTypeOccurences.java:41-82).
+
+    Most frequent non-EMPTY type if it covers ≥50% of non-empty values, else
+    STRING; INTEGER absorbed into DOUBLE when DOUBLE present ("any integer is
+    a double").  Output: (column_name, suggested_type).
+    """
+    counts = data_type_counts(df, columns)
+    non_empty = counts.filter(F.col("data_type") != "EMPTY")
+    # INTEGER counts also vote for DOUBLE
+    as_double = non_empty.withColumn(
+        "vote_type",
+        F.when(F.col("data_type") == "INTEGER", F.lit("DOUBLE")).otherwise(F.col("data_type")),
+    )
+    votes = as_double.groupBy("column_name", "vote_type").agg(F.sum("cnt").alias("votes"))
+    totals = non_empty.groupBy("column_name").agg(F.sum("cnt").alias("total"))
+    ranked = (
+        votes.join(totals, "column_name")
+        .withColumn("frac", F.col("votes") / F.col("total"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("column_name").orderBy(F.desc("votes"), F.asc("vote_type"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return ranked.select(
+        "column_name",
+        F.when(F.col("frac") >= 0.5, F.col("vote_type"))
+        .otherwise(F.lit("STRING"))
+        .alias("suggested_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern frequency (CompositePatternFrequencyAnalyzer + recognizers)
+# ---------------------------------------------------------------------------
+
+
+def char_pattern_expr(col):
+    """Char-class pattern: lower→a, upper→A, digit→9; CJK classes to class
+    chars (GenericCharPatternRecognizer / TextPatternUtil.findPattern,
+    `statistics/frequency/recognition/GenericCharPatternRecognizer.java:31-42`).
+
+    Pure regexp_replace cascade — JVM-side, codegen'd.
+    """
+    out = F.when(ti.is_empty(col), F.lit("(EMPTY)"))
+    x = F.regexp_replace(col, r"[a-z]", "a")
+    x = F.regexp_replace(x, r"[A-Z]", "A")
+    x = F.regexp_replace(x, r"[0-9]", "9")
+    x = F.regexp_replace(x, r"[\x{3040}-\x{309F}]", "H")   # Hiragana
+    x = F.regexp_replace(x, r"[\x{30A0}-\x{30FF}]", "K")   # Katakana
+    x = F.regexp_replace(x, r"[\x{AC00}-\x{D7AF}]", "G")   # Hangul
+    x = F.regexp_replace(x, r"[\x{4E00}-\x{9FFF}]", "C")
+    return out.otherwise(x)
+
+
+def pattern_frequency(df: DataFrame, column: str) -> DataFrame:
+    """Pattern → frequency table for one column. Output: (pattern, cnt)."""
+    return (
+        df.select(char_pattern_expr(F.col(column).cast("string")).alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequency / top-k (DataTypeFrequencyAnalyzer.getTopK)
+# ---------------------------------------------------------------------------
+
+
+def value_frequency_topk(df: DataFrame, column: str, k: int) -> DataFrame:
+    """Top-k most frequent values. Ties broken by value for determinism.
+
+    groupBy + full agg then a single-partition top-k of the (small)
+    aggregated result — never a driver-side hash map.
+    """
+    counts = df.groupBy(F.col(column).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("value")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Cardinality (exact + HLL)
+# ---------------------------------------------------------------------------
+
+
+def cardinality(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact distinct + HLL approx (rsd=0.2 — the reference default,
+    CardinalityHLLAnalyzer.java:36) per column, one aggregate."""
+    aggs = []
+    for c in columns:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}_distinct"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd=0.2).alias(f"{c}_approx_distinct"))
+    return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Numeric summary (SummaryAnalyzer) — only numeric-valid values contribute
+# ---------------------------------------------------------------------------
+
+
+def summary_stats(df: DataFrame, column: str) -> DataFrame:
+    """min/max/mean/variance/sum over values valid as DOUBLE
+    (SummaryAnalyzer.java:46-70: non-numeric values are skipped)."""
+    s = F.col(column).cast("string")
+    v = F.when(ti.is_integer(s) | ti.is_double(s), F.col(column).cast("double"))
+    return df.agg(
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+        F.avg(v).alias("mean_val"),
+        F.var_samp(v).alias("var_val"),
+        F.sum(v).alias("sum_val"),
+        F.count(v).alias("count_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram (HistogramAnalyzer): fixed-range equi-width, below/above counters
+# ---------------------------------------------------------------------------
+
+
+def histogram(df: DataFrame, column: str, lo: float, hi: float, num_bins: int) -> DataFrame:
+    """Equi-width histogram on [lo, hi); last bin upper-inclusive
+    (HistogramStatistics.java:50-101).  Values outside the range land in
+    bin -1 (below) / num_bins (above).  Output: (bin, cnt) sorted by bin."""
+    x = F.col(column).cast("double")
+    width = (hi - lo) / num_bins
+    bin_expr = (
+        F.when(x.isNull(), None)
+        .when(x < lo, F.lit(-1))
+        .when(x > hi, F.lit(num_bins))
+        .when(x == hi, F.lit(num_bins - 1))  # upper bound inclusive in last bin
+        .otherwise(F.floor((x - lo) / F.lit(width)).cast("int"))
+    )
+    return (
+        df.select(bin_expr.alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles (QuantileAnalyzer exact / TDigestAnalyzer approx)
+# ---------------------------------------------------------------------------
+
+
+def quantiles(df: DataFrame, column: str, probs: list[float], exact: bool = True) -> DataFrame:
+    """Exact `percentile` (reference QuantileAnalyzer contract) or
+    `approx_percentile` (t-digest contract) — never buffers in the driver."""
+    x = F.col(column).cast("double")
+    fn = F.percentile if exact else F.percentile_approx
+    aggs = [
+        fn(x, F.lit(p)).alias(f"q{str(p).replace('.', '_')}") for p in probs
+    ]
+    return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Text length (TextLengthAnalyzer — code-point semantics, with/without blanks)
+# ---------------------------------------------------------------------------
+
+
+def text_length_stats(df: DataFrame, column: str) -> DataFrame:
+    """min/max/sum/avg code-point length, ignoring-blank variants included
+    (TextLengthStatistics.java:51-109)."""
+    c = F.col(column).cast("string")
+    ln = F.length(c)
+    blank = ti.is_empty(c)
+    ln_nb = F.when(~blank, ln)
+    return df.agg(
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.sum(ln).alias("sum_len"),
+        F.avg(ln).alias("avg_len"),
+        F.min(ln_nb).alias("min_len_nonblank"),
+        F.max(ln_nb).alias("max_len_nonblank"),
+        F.avg(ln_nb).alias("avg_len_nonblank"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )

@@ -1,0 +1,624 @@
+"""Driver-contract queries: one per implemented operator (SURVEY.md §2),
+each with an exact DuckDB oracle SQL twin.
+
+Conventions for oracle parity (the driver hash-compares values):
+- every count/length is cast to BIGINT on both sides;
+- ratios are raw divisions of exact integers (bit-identical IEEE doubles in
+  both engines) — never rounded;
+- no floating-point *summations* are compared except over values that are
+  exact small integers (sums ≤ 2^53 are exact);
+- regexes restricted to the Java/RE2 common subset;
+- aggregates with tie potential are made deterministic (explicit tiebreaks).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import textstats as ts
+from .functions import typeinfer as ti
+from .operators import profiling as prof
+from .rules import (
+    MAX_DUP_2GRAM_FRACTION,
+    MAX_MEAN_WORD_LEN,
+    MAX_SYMBOL_RATIO,
+    MIN_DISTINCT_WORD_RATIO,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_COUNT,
+    MIN_WORDS,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _read_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read + ensure CPU-bound work can use all cores.
+
+    Small single-file test inputs arrive as ONE split; per-doc CPU work
+    (rules, models) would then serialize on one core.  At real scale the
+    scan has thousands of splits and this is a no-op — the repartition only
+    fires when the source under-splits the default parallelism.
+    """
+    df = _read(spark, sf_dir, table)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
+# SQL fragment: non-empty whitespace-split words of `text` (DuckDB)
+_SQL_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_SQL_LWORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Text statistics over documents (TextLengthAnalyzer + Gopher features)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_textstats",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS ws, {_SQL_LWORDS} AS lws
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(ws) AS BIGINT) AS n_words,
+      CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_word_len,
+      CAST(len(list_distinct(lws)) AS BIGINT) AS n_distinct_words,
+      CAST(len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) AS BIGINT) AS n_stopwords,
+      CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS BIGINT) AS n_symbols
+    FROM w
+    """,
+)
+def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_wide(spark, sf_dir, "documents")
+    feat = ts.with_text_features(docs, "text")
+    return feat.select(
+        "doc_id",
+        F.col("_nchars").cast("long").alias("n_chars"),
+        F.col("_nw").cast("long").alias("n_words"),
+        F.col("_sum_wlen").cast("long").alias("sum_word_len"),
+        F.col("_n_distinct").cast("long").alias("n_distinct_words"),
+        F.col("_n_stop").cast("long").alias("n_stopwords"),
+        F.col("_n_sym").cast("long").alias("n_symbols"),
+    )
+
+
+@_register(
+    "doc_quality_rules",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS ws, {_SQL_LWORDS} AS lws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, ws, lws,
+        CASE WHEN len(ws) >= 2 THEN
+          list_transform(generate_series(1, len(ws)-1),
+                         i -> array_to_string(list_slice(lws, i, i+1), ' '))
+        ELSE [] END AS g2
+      FROM w
+    )
+    SELECT
+      doc_id,
+      (len(ws) >= {MIN_WORDS}) AS rule_word_count,
+      (len(ws) > 0 AND
+       list_sum(list_transform(ws, x -> length(x))) / len(ws) >= {MIN_MEAN_WORD_LEN} AND
+       list_sum(list_transform(ws, x -> length(x))) / len(ws) <= {MAX_MEAN_WORD_LEN}) AS rule_mean_word_length,
+      (length(text) = 0 OR
+       length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) / length(text) <= {MAX_SYMBOL_RATIO}) AS rule_symbol_ratio,
+      (len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) >= {MIN_STOPWORD_COUNT}) AS rule_stopwords,
+      (len(g2) = 0 OR 1.0 - len(list_distinct(g2)) / len(g2) <= {MAX_DUP_2GRAM_FRACTION}) AS rule_dup_2gram,
+      (len(ws) > 0 AND len(list_distinct(lws)) / len(ws) >= {MIN_DISTINCT_WORD_RATIO}) AS rule_distinct_words
+    FROM g
+    """,
+)
+def doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible subset of the rule registry over `documents`
+    (the full registry incl. CJK gating runs in the pipeline query)."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    feat = ts.with_text_features(docs, "text")
+    nw, nchars = F.col("_nw"), F.col("_nchars")
+    mwl = F.col("_sum_wlen") / nw
+    g2 = F.col("_g2")
+    return feat.select(
+        "doc_id",
+        (nw >= MIN_WORDS).alias("rule_word_count"),
+        ((nw > 0) & (mwl >= MIN_MEAN_WORD_LEN) & (mwl <= MAX_MEAN_WORD_LEN)).alias("rule_mean_word_length"),
+        ((nchars == 0) | (F.col("_n_sym") / nchars <= MAX_SYMBOL_RATIO)).alias("rule_symbol_ratio"),
+        (F.col("_n_stop") >= MIN_STOPWORD_COUNT).alias("rule_stopwords"),
+        ((F.size(g2) == 0) | (1.0 - F.size(F.array_distinct(g2)) / F.size(g2) <= MAX_DUP_2GRAM_FRACTION)).alias("rule_dup_2gram"),
+        ((nw > 0) & (F.col("_n_distinct") / nw >= MIN_DISTINCT_WORD_RATIO)).alias("rule_distinct_words"),
+    )
+
+
+@_register(
+    "doc_rule_hit_counts",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS ws, {_SQL_LWORDS} AS lws FROM documents
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN len(ws) >= {MIN_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS word_count_pass,
+      CAST(sum(CASE WHEN len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) >= {MIN_STOPWORD_COUNT} THEN 1 ELSE 0 END) AS BIGINT) AS stopwords_pass,
+      CAST(sum(CASE WHEN len(ws) > 0 AND len(list_distinct(lws)) / len(ws) >= {MIN_DISTINCT_WORD_RATIO} THEN 1 ELSE 0 END) AS BIGINT) AS distinct_words_pass
+    FROM w
+    """,
+)
+def doc_rule_hit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueQualityStatistics-style accounting: one partial+final aggregate."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    feat = ts.with_text_features(docs, "text")
+    nw = F.col("_nw")
+    return feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(nw >= MIN_WORDS, 1).otherwise(0)).alias("word_count_pass"),
+        F.sum(F.when(F.col("_n_stop") >= MIN_STOPWORD_COUNT, 1).otherwise(0)).alias("stopwords_pass"),
+        F.sum(
+            F.when(
+                (nw > 0) & (F.col("_n_distinct") / nw >= MIN_DISTINCT_WORD_RATIO), 1
+            ).otherwise(0)
+        ).alias("distinct_words_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type inference / value quality (DataTypeAnalyzer / ValueQualityAnalyzer)
+# ---------------------------------------------------------------------------
+
+_SQL_CLASSIFY = """
+    CASE
+      WHEN v IS NULL OR trim(v) = '' THEN 'EMPTY'
+      WHEN regexp_matches(v, '^(?i)(true|false)$') THEN 'BOOLEAN'
+      WHEN regexp_matches(v, '^[-+－＋]?[0-9０-９]+$') THEN 'INTEGER'
+      WHEN regexp_matches(v, '^[-+－＋]?(([0-9０-９]+|[0-9]{1,3}(,[0-9]{3})+|[0-9]{1,3}(\\.[0-9]{3})+|[0-9]{1,3}( [0-9]{3})+)([.,][0-9０-９]+)?)([eE][-+]?[0-9]+)?%?$') THEN 'DOUBLE'
+      WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'DATE'
+      ELSE 'STRING'
+    END
+"""
+# note: the oracle DATE branch covers only ISO dates — the stacked columns
+# below contain no other date shapes, so the cascade is equivalent on them.
+
+
+@_register(
+    "type_profile_customer",
+    f"""
+    WITH stacked AS (
+      SELECT 'c_custkey' AS column_name, CAST(c_custkey AS VARCHAR) AS v FROM customer
+      UNION ALL
+      SELECT 'c_name', c_name FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment FROM customer
+    )
+    SELECT column_name, {_SQL_CLASSIFY} AS data_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM stacked GROUP BY 1, 2
+    """,
+)
+def type_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    return prof.data_type_counts(cust, ["c_custkey", "c_name", "c_mktsegment"]).select(
+        "column_name", "data_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+@_register(
+    "value_quality_customer",
+    """
+    WITH stacked AS (
+      SELECT 'c_custkey' AS column_name, CAST(c_custkey AS VARCHAR) AS v FROM customer
+      UNION ALL
+      SELECT 'c_name', c_name FROM customer
+    )
+    SELECT column_name,
+      CAST(sum(CASE WHEN v IS NULL OR trim(v) = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
+      CAST(sum(CASE WHEN NOT (v IS NULL OR trim(v) = '')
+                     AND regexp_matches(v, '^[-+－＋]?[0-9０-９]+$') THEN 1 ELSE 0 END) AS BIGINT) AS valid_cnt,
+      CAST(sum(CASE WHEN NOT (v IS NULL OR trim(v) = '')
+                     AND NOT regexp_matches(v, '^[-+－＋]?[0-9０-９]+$') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_cnt
+    FROM stacked GROUP BY 1
+    """,
+)
+def value_quality_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """valid/invalid/empty triplet per column against expected INTEGER
+    (ValueQualityAnalyzer.java:67-99 semantics)."""
+    cust = _read(spark, sf_dir, "customer")
+    stacked = cust.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("c_custkey").alias("column_name"), F.col("c_custkey").cast("string").alias("v")),
+                F.struct(F.lit("c_name").alias("column_name"), F.col("c_name").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.v")
+    v = F.col("v")
+    empty = ti.is_empty(v)
+    valid = ti.is_valid_as(v, "INTEGER")
+    return stacked.groupBy("column_name").agg(
+        F.sum(F.when(empty, 1).otherwise(0)).cast("long").alias("empty_cnt"),
+        F.sum(F.when(~empty & valid, 1).otherwise(0)).cast("long").alias("valid_cnt"),
+        F.sum(F.when(~empty & ~valid, 1).otherwise(0)).cast("long").alias("invalid_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern frequency (GenericCharPatternRecognizer)
+# ---------------------------------------------------------------------------
+
+_SQL_PATTERN = """
+    CASE WHEN v IS NULL OR trim(v) = '' THEN '(EMPTY)'
+    ELSE regexp_replace(regexp_replace(regexp_replace(v,
+      '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g'), '[0-9]', '9', 'g')
+    END
+"""
+
+
+@_register(
+    "pattern_freq_cname",
+    f"""
+    SELECT {_SQL_PATTERN.replace('v', 'c_name')} AS pattern, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer GROUP BY 1
+    """,
+)
+def pattern_freq_cname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    return prof.pattern_frequency(cust, "c_name").select(
+        "pattern", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+@_register(
+    "pattern_freq_props",
+    f"""
+    SELECT {_SQL_PATTERN.replace('v', 'props')} AS pattern, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def pattern_freq_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return prof.pattern_frequency(ev, "props").select(
+        "pattern", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequency top-k / cardinality / summary / histogram / quantiles / lengths
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "topk_event_types",
+    """
+    SELECT event_type AS value, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 3
+    """,
+)
+def topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return prof.value_frequency_topk(ev, "event_type", 3).select(
+        "value", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+@_register(
+    "cardinality_exact",
+    """
+    SELECT
+      CAST((SELECT count(DISTINCT c_mktsegment) FROM customer) AS BIGINT) AS c_mktsegment_distinct,
+      CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT) AS c_nationkey_distinct,
+      CAST((SELECT count(DISTINCT event_type) FROM events) AS BIGINT) AS event_type_distinct,
+      CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS user_id_distinct
+    """,
+)
+def cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    ev = _read(spark, sf_dir, "events")
+    a = cust.agg(
+        F.countDistinct("c_mktsegment").alias("c_mktsegment_distinct"),
+        F.countDistinct("c_nationkey").alias("c_nationkey_distinct"),
+    )
+    b = ev.agg(
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+    )
+    return a.crossJoin(b)
+
+
+@_register(
+    "summary_lquantity",
+    """
+    SELECT
+      min(l_quantity) AS min_val,
+      max(l_quantity) AS max_val,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_val,
+      CAST(count(l_quantity) AS BIGINT) AS count_val,
+      sum(CAST(l_quantity AS BIGINT)) / count(l_quantity) AS mean_val,
+      (sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT)) / count(*))
+        / (count(*) - 1) AS var_val
+    FROM lineitem
+    """,
+)
+def summary_lquantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummaryAnalyzer semantics; variance via exact integer sums so the
+    result is deterministic and engine-independent (l_quantity values are
+    integral; float summation order never matters)."""
+    li = _read(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    qi = q.cast("long")
+    return li.agg(
+        F.min(q).alias("min_val"),
+        F.max(q).alias("max_val"),
+        F.sum(qi).cast("long").alias("sum_val"),
+        F.count(q).alias("count_val"),
+        (F.sum(qi) / F.count(q)).alias("mean_val"),
+        ((F.sum(qi * qi) - F.sum(qi) * F.sum(qi) / F.count(F.lit(1))) / (F.count(F.lit(1)) - 1)).alias("var_val"),
+    )
+
+
+@_register(
+    "histogram_lquantity",
+    """
+    SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT CASE
+        WHEN l_quantity < 0 THEN -1
+        WHEN l_quantity > 50 THEN 10
+        WHEN l_quantity = 50 THEN 9
+        ELSE CAST(floor((l_quantity - 0) / 5.0) AS INTEGER)
+      END AS bin FROM lineitem
+    ) t GROUP BY bin
+    """,
+)
+def histogram_lquantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return prof.histogram(li, "l_quantity", 0.0, 50.0, 10).select(
+        F.col("bin").cast("int").alias("bin"), F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+@_register(
+    "quantiles_lquantity",
+    """
+    SELECT
+      quantile_cont(l_quantity, 0.25) AS q0_25,
+      quantile_cont(l_quantity, 0.5) AS q0_5,
+      quantile_cont(l_quantity, 0.75) AS q0_75
+    FROM lineitem
+    """,
+)
+def quantiles_lquantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return prof.quantiles(li, "l_quantity", [0.25, 0.5, 0.75], exact=True)
+
+
+@_register(
+    "text_length_docs",
+    """
+    SELECT
+      CAST(min(length(text)) AS BIGINT) AS min_len,
+      CAST(max(length(text)) AS BIGINT) AS max_len,
+      CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      sum(length(text)) / count(*) AS avg_len,
+      CAST(count(*) AS BIGINT) AS row_cnt
+    FROM documents
+    """,
+)
+def text_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return docs.agg(
+        F.min(ln).cast("long").alias("min_len"),
+        F.max(ln).cast("long").alias("max_len"),
+        F.sum(ln).cast("long").alias("sum_len"),
+        (F.sum(ln) / F.count(F.lit(1))).alias("avg_len"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint keyer + dedup (FingerprintKeyer / blocking)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fingerprint_dedup_pname",
+    """
+    WITH k AS (
+      SELECT array_to_string(list_sort(list_distinct(
+        list_filter(regexp_split_to_array(
+          regexp_replace(lower(trim(p_name)), '[^a-z0-9 ]', '', 'g'),
+          ' +'), x -> x <> ''))), ' ') AS fp
+      FROM part
+    )
+    SELECT fp, CAST(count(*) AS BIGINT) AS cnt FROM k
+    GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def fingerprint_dedup_pname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FingerprintKeyer (trim→lower→strip punct→sort+dedupe tokens→join,
+    `record-linkage/.../windowkey/FingerprintKeyer.java:43-59`) as a pure
+    column expression; groups >1 are near-dup candidates."""
+    part = _read(spark, sf_dir, "part")
+    fp = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower(F.trim(F.col("p_name"))), r"[^a-z0-9 ]", ""),
+                        r" +",
+                    ),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ),
+        " ",
+    ).alias("fp")
+    return (
+        part.select(fp)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("fp", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+@_register(
+    "exact_dedup_docs",
+    """
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+      CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dups
+    FROM documents
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("text").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Email validation (EmailVerify chain subset as column exprs)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+
+
+@_register(
+    "email_check_customer",
+    f"""
+    WITH e AS (
+      SELECT
+        regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') || '@example.com' AS good,
+        c_name || '@example.com' AS bad
+      FROM customer
+    )
+    SELECT
+      CAST(sum(CASE WHEN regexp_matches(good, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS good_valid,
+      CAST(sum(CASE WHEN regexp_matches(bad, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS bad_valid,
+      CAST(count(*) AS BIGINT) AS total
+    FROM e
+    """,
+)
+def email_check_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmailValidator regex semantics (`dataquality-email/.../CommonCheck/
+    EmailValidator.java:27-41`) — constructed addresses so both valid and
+    invalid paths are exercised on TPC-H data."""
+    cust = _read(spark, sf_dir, "customer")
+    good = F.concat(F.regexp_replace(F.lower(F.col("c_name")), r"[^a-z0-9]", ""), F.lit("@example.com"))
+    bad = F.concat(F.col("c_name"), F.lit("@example.com"))
+    return cust.agg(
+        F.sum(F.when(good.rlike(_EMAIL_RE), 1).otherwise(0)).cast("long").alias("good_valid"),
+        F.sum(F.when(bad.rlike(_EMAIL_RE), 1).otherwise(0)).cast("long").alias("bad_valid"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship (Drools rules → aggregate expressions, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "survivorship_orders",
+    """
+    SELECT o_orderstatus,
+      max(o_totalprice) AS largest_price,
+      min(o_totalprice) AS smallest_price,
+      min(o_orderdate) AS most_ancient,
+      max(o_orderdate) AS most_recent,
+      substr(max(lpad(CAST(length(o_orderpriority) AS VARCHAR), 3, '0') || o_orderpriority), 4) AS longest_priority,
+      CAST(count(*) AS BIGINT) AS group_size
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def survivorship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest/Smallest/MostAncient/MostRecent/Longest survivorship rules
+    (`survivorship/model/RuleDefinition.java:193-221`) as one groupBy.agg —
+    Longest uses a length-prefixed max for a deterministic tiebreak."""
+    o = _read(spark, sf_dir, "orders")
+    prio = F.col("o_orderpriority")
+    return o.groupBy("o_orderstatus").agg(
+        F.max("o_totalprice").alias("largest_price"),
+        F.min("o_totalprice").alias("smallest_price"),
+        F.min("o_orderdate").alias("most_ancient"),
+        F.max("o_orderdate").alias("most_recent"),
+        F.substring(
+            F.max(F.concat(F.lpad(F.length(prio).cast("string"), 3, "0"), prio)), 4, 1000
+        ).alias("longest_priority"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (ReservoirSampler contract: uniform exact-k)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sample_docs_k50",
+    """
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+    """,
+)
+def sample_docs_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample via hash-ordering (seeded-reservoir analog,
+    `sampling/ReservoirSampler.java:59-80`): deterministic, engine-agnostic,
+    one shuffle of only the top-k partials (TakeOrderedAndProject)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(50)
+        .select("doc_id")
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality pipeline over `documents` mapped to the pages
+    shape (url=doc://id).  Not SQL-expressible (pandas-UDF langid + LM)."""
+    from .pipeline import apply_quality_pipeline
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = apply_quality_pipeline(pages)
+    return out.select(
+        "url", "lang", "lang_detected", "ppl", "keep", "reasons", "scrubbed_text"
+    )
+
+
+QUERIES["quality_pipeline_docs"] = flagship  # rows-only check (UDF-backed)

@@ -1,0 +1,78 @@
+"""Per-type classification micro-fixtures (reference pattern: testBoolean.csv
+… testString.csv, SURVEY.md §5.2-3) + dominant-type voting semantics."""
+
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import typeinfer as ti
+from data_quality_spark.operators import profiling as prof
+
+
+def _classify_all(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    rows = df.select(F.col("v"), ti.classify(F.col("v")).alias("t")).collect()
+    return {r["v"]: r["t"] for r in rows}
+
+
+def test_classify_basic(spark):
+    got = _classify_all(
+        spark,
+        ["42", "-7", "＋１２", "3.14", "1,234.5", "1.234,5", "2e10", "45%",
+         "true", "FALSE", "2024-01-31", "1/31/2024", "20240131", "12:34:56",
+         "hello", "", "   ", None],
+    )
+    assert got["42"] == "INTEGER"
+    assert got["-7"] == "INTEGER"
+    assert got["＋１２"] == "INTEGER"          # full-width accepted (TypeInferenceUtils.java:28)
+    assert got["3.14"] == "DOUBLE"
+    assert got["1,234.5"] == "DOUBLE"
+    assert got["1.234,5"] == "DOUBLE"
+    assert got["2e10"] == "DOUBLE"
+    assert got["45%"] == "DOUBLE"
+    assert got["true"] == "BOOLEAN"
+    assert got["FALSE"] == "BOOLEAN"
+    assert got["2024-01-31"] == "DATE"
+    assert got["1/31/2024"] == "DATE"
+    # integer check precedes date (classify order) — 8-digit dates stay INTEGER
+    assert got["20240131"] == "INTEGER"
+    assert got["12:34:56"] == "TIME"
+    assert got["hello"] == "STRING"
+    assert got[""] == "EMPTY"
+    assert got["   "] == "EMPTY"
+    assert got[None] == "EMPTY"
+
+
+def test_is_valid_as(spark):
+    df = spark.createDataFrame([("12",), ("x",), ("3.5",)], "v string")
+    rows = df.select(
+        ti.is_valid_as(F.col("v"), "INTEGER").alias("i"),
+        ti.is_valid_as(F.col("v"), "DOUBLE").alias("d"),
+        ti.is_valid_as(F.col("v"), "STRING").alias("s"),
+    ).collect()
+    assert [r["i"] for r in rows] == [True, False, False]
+    assert [r["d"] for r in rows] == [True, False, True]  # INTEGER ⊂ DOUBLE
+    assert [r["s"] for r in rows] == [True, True, True]   # STRING always valid
+
+
+def test_dominant_type_threshold_voting(spark):
+    # 3 ints + 1 string over 4 non-empty → 75% ≥ 50% → DOUBLE (int⊂double)
+    df = spark.createDataFrame([("1",), ("2",), ("3",), ("x",), ("",)], "c string")
+    got = prof.dominant_type(df, ["c"]).collect()[0]
+    assert got["suggested_type"] == "DOUBLE"
+    # 50/50 mixed types sum below threshold→ STRING
+    df2 = spark.createDataFrame([("1",), ("x",), ("y",), ("z",)], "c string")
+    got2 = prof.dominant_type(df2, ["c"]).collect()[0]
+    assert got2["suggested_type"] == "STRING"
+
+
+def test_value_quality_counting(spark):
+    """valid/invalid/empty triplet — ValueQualityStatistics semantics."""
+    df = spark.createDataFrame(
+        [("1",), ("2",), ("x",), ("",), (None,)], "c string"
+    )
+    c = F.col("c")
+    got = df.agg(
+        F.sum(F.when(ti.is_empty(c), 1).otherwise(0)).alias("empty"),
+        F.sum(F.when(~ti.is_empty(c) & ti.is_valid_as(c, "INTEGER"), 1).otherwise(0)).alias("valid"),
+        F.sum(F.when(~ti.is_empty(c) & ~ti.is_valid_as(c, "INTEGER"), 1).otherwise(0)).alias("invalid"),
+    ).collect()[0]
+    assert (got["valid"], got["invalid"], got["empty"]) == (2, 1, 2)
