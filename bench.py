@@ -28,6 +28,14 @@ HEADLINE = [
     "quantiles_lquantity",
     "fingerprint_dedup_pname",
     "survivorship_orders",
+    "exact_dedup_norm_docs",
+    "minhash_docs",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "ann_bruteforce_top3",
+    "ann_lsh_top3",
+    "doc_token_counts",
+    "doc_fingerprints",
 ]
 
 

@@ -1,0 +1,279 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, all deterministic and engine-agnostic (hashes derived from md5,
+which Spark and DuckDB/Python compute identically — no JVM-specific
+hash functions in anything the oracle must reproduce):
+
+- exact: hash-groupBy on normalized text (one shuffle of (hash, id) pairs
+  only — never shuffles the documents themselves);
+- n-gram Jaccard: shingle sets + pairwise intersection within candidate
+  groups;
+- MinHash + LSH: k salted-md5 min-hashes → bands → bucket join; candidate
+  pairs only ever compared within a bucket (the reference's blocking-key
+  device, `genkey/BlockingKeyHandler.java:81`, generalized);
+- SimHash: 64-bit weighted-bit fingerprint via a pandas UDF (bit twiddling
+  is not expressible as efficient Catalyst exprs), Hamming-band buckets.
+
+Scale notes: every operator shuffles only (key, id, signature) tuples —
+signatures are O(k) ints, so shuffle volume is independent of document
+size.  LSH banding keeps the candidate-pair count near-linear; a band
+bucket containing B docs yields B(B-1)/2 in-bucket pairs, so bucket sizes
+are capped (`max_bucket`) exactly like the reference's 1000-record block
+cap (`StringsClusterAnalyzer.java:57`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Normalization for exact dedup: lower + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (normalized). Output: (text_hash,
+    group_size, min_id) for groups with >1 member; min_id is the canonical
+    survivor (deterministic)."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("id").alias("min_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per normalized text.  Implemented as a
+    min-id-per-hash semi-join so only (hash, id) shuffles, not documents."""
+    h = F.md5(normalized_text(F.col(text_col)))
+    keep_ids = (
+        df.select(h.alias("text_hash"), F.col(id_col).alias("__id"))
+        .groupBy("text_hash")
+        .agg(F.min("__id").alias("__keep_id"))
+        .select(F.col("__keep_id").alias(id_col))
+    )
+    return df.join(keep_ids, on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct lower-cased word n-gram shingles (array<string>)."""
+    from ..functions.textstats import ngrams_from_words, words
+
+    w = F.transform(words(col), lambda x: F.lower(x))
+    return F.array_distinct(ngrams_from_words(w, n))
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over two array columns (native set ops)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array of `num_hashes` min-hash values.
+
+    Hash i of a shingle = md5(i || ':' || shingle) (hex string; lexicographic
+    min over hex = min over the 128-bit value).  Salted-md5 keeps the whole
+    signature reproducible in any engine; the per-element work is
+    vectorizable JVM code (transform + array_min), no UDF.
+    """
+    # NB: the lambda must be unary — a binary lambda makes `transform` pass
+    # the array index as the second argument, silently clobbering the salt.
+    def _hasher(salt: str):
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    sigs = [
+        F.array_min(F.transform(shingles, _hasher(f"{i}:")))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Array of band keys: band_id || md5(concat of that band's rows)."""
+    keys = []
+    for b in range(num_bands):
+        start = b * rows_per_band + 1  # slice is 1-based
+        band = F.slice(sig, start, rows_per_band)
+        keys.append(F.concat(F.lit(f"b{b}:"), F.md5(F.array_join(band, "|"))))
+    return F.array(*keys)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    Output: (id_a, id_b, n_shared_bands) with id_a < id_b.  The join runs
+    bucket-by-bucket (explode band keys → self-join on key), so cost is
+    Σ B_k² over buckets, never n².  Buckets larger than `max_bucket` are
+    dropped (boilerplate explosion guard — mirrors the reference's block
+    cap; at web scale a giant bucket means a degenerate shingle, not real
+    near-dups).
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(lsh_band_keys(sig, num_bands, rows_per_band)).alias("band_key"),
+    )
+    # cap bucket sizes
+    sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
+    keyed = keyed.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "band_key", "left_anti"
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, on="band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Candidates → verify with true n-gram Jaccard ≥ threshold.
+
+    Verification joins the shingle arrays back in (only for candidate ids —
+    a semi-join-sized shuffle, not the corpus).
+    Output: (id_a, id_b, jaccard).
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, shingle_n, num_hashes, num_bands
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_similarity(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, word-feature)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash of lower-cased words, as an Arrow pandas UDF.
+
+    Feature hash = first 16 hex digits of md5(word) (engine-agnostic);
+    bit b of the fingerprint is 1 iff Σ_w (±1 per word's bit b) > 0.
+    Returned as bigint (two's complement).
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        def one(t: str | None) -> int | None:
+            if t is None:
+                return None
+            counts = [0] * 64
+            for w in t.lower().split():
+                h = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+                )
+                for b in range(64):
+                    counts[b] += 1 if (h >> b) & 1 else -1
+            v = 0
+            for b in range(64):
+                if counts[b] > 0:
+                    v |= 1 << b
+            # two's complement into signed 64-bit
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for texts in batches:
+            yield texts.map(one)
+
+    return _simhash(text_col)
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, num_bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into `num_bands` 16-bit
+    keys (pigeonhole: hamming ≤ num_bands-1 guarantees a shared band; wider
+    radii still mostly collide), then verify Hamming distance ≤ max_hamming
+    via bit_count(xor) — a native expression.
+    Output: (id_a, id_b, hamming)."""
+    h = simhash64(F.col(text_col))
+    width = 64 // num_bands
+    hashed = df.select(F.col(id_col).alias("id"), h.alias("sh")).cache()
+    bands = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"b{b}:"),
+                        F.shiftrightunsigned(F.col("sh"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,84 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, document fingerprinting.  (Language-ID lives in langid.py.)
+
+All native Catalyst expressions with exact DuckDB twins unless noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textstats as ts
+
+# BPE-ish pre-tokenization regex (GPT-2 style, simplified to the Java/RE2
+# common subset): word pieces, numbers, punctuation runs, whitespace runs.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return ts.word_count(col)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens via regexp_count (JVM, codegen'd) —
+    the cheap `len(tokenizer(text))` estimator used for token budgeting."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] prose-quality score: mean of five bounded signals
+    (stopword density, distinct-word ratio, alpha-word ratio, symbol
+    cleanliness, length sweet-spot).  Monotone, deterministic, rule-free —
+    the scalar companion to the boolean rule registry."""
+    w = ts.words(col)
+    nw = F.size(w)
+    stop_frac = ts.stopword_fraction(col)
+    s1 = F.least(stop_frac * 2.5, F.lit(1.0))                      # stopword density
+    s2 = ts.distinct_word_ratio(col)                               # vocabulary spread
+    s3 = ts.alpha_word_fraction(col)                               # real words
+    s4 = F.lit(1.0) - F.least(ts.symbol_ratio(col) * 3.0, F.lit(1.0))  # cleanliness
+    s5 = F.when((nw >= 50) & (nw <= 5000), 1.0).when(nw > 0, 0.5).otherwise(0.0)
+    score = (s1 + F.coalesce(s2, F.lit(0.0)) + s3 + s4 + s5) / 5.0
+    return F.when(col.isNull(), None).otherwise(score)
+
+
+def char_shingle_fingerprint(
+    col: Column, shingle_len: int = 16, stride: int = 8, keep: int = 8
+) -> Column:
+    """Document fingerprint: the `keep` smallest md5 hashes of strided
+    character shingles (winnowing-style rolling-hash selection, expressed
+    natively: substr windows → md5 → array_sort → slice).
+
+    Two documents sharing most content share most minima — fingerprint
+    overlap is a containment signal that, unlike MinHash over word
+    shingles, survives small in-place edits.  Engine-agnostic (md5).
+    """
+    n = F.length(col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1)), F.lit(stride)
+    )
+    hashes = F.transform(
+        positions, lambda p: F.md5(F.substring(col, p, shingle_len))
+    )
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+
+
+def fingerprint_overlap(a: Column, b: Column) -> Column:
+    """Shared fingerprint minima count between two fingerprint arrays."""
+    return F.size(F.array_intersect(a, b))
+
+
+def doc_signature_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc signature row: token counts, quality score, fingerprint.
+    One projection — all signals share one scan."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(c).cast("long").alias("ws_tokens"),
+        bpe_token_count(c).cast("long").alias("bpe_tokens"),
+        quality_score(c).alias("quality"),
+        char_shingle_fingerprint(c).alias("fingerprint"),
+    )

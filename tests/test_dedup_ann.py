@@ -1,0 +1,113 @@
+"""Dedup + similarity-search operator tests with constructed duplicates."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_quality_spark.operators import ann, dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while many people watch from the old wooden bridge in the morning sun"
+)
+NEAR = BASE.replace("morning sun", "evening light")  # small edit → near-dup
+OTHER = (
+    "completely different content about database systems query planning "
+    "and distributed execution engines with columnar storage formats"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                       # exact dup of 0
+        (2, "  " + BASE.upper() + " "),  # normalized dup of 0
+        (3, NEAR),                       # near dup of 0
+        (4, OTHER),
+        (5, OTHER.replace("formats", "layouts")),  # near dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicate_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["group_size"] == 3 and groups[0]["min_id"] == 0
+    kept = dedup.drop_exact_duplicates(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 4, 5]
+
+
+def test_jaccard(docs, spark):
+    s = docs.select("doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh"))
+    a = s.filter(F.col("doc_id") == 0).alias("a")
+    b = s.filter(F.col("doc_id") == 3).alias("b")
+    j = (
+        a.crossJoin(b)
+        .select(dedup.jaccard_similarity(F.col("a.sh"), F.col("b.sh")).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert 0.7 < j < 1.0  # near dup: high but not identical
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(
+            docs, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    # exact dups always pair; the near-dup pairs must be found
+    assert (0, 3) in pairs
+    assert (4, 5) in pairs
+    # unrelated docs never pair
+    assert not any(a in (0, 1, 2, 3) and b in (4, 5) for a, b in pairs)
+
+
+def test_simhash_candidates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(
+            docs, "text", "doc_id", max_hamming=12
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0          # identical text → identical simhash
+    assert (0, 3) in pairs             # near dup → small hamming
+    assert (0, 4) not in pairs         # different docs don't pair
+
+
+def test_ann_bruteforce_vs_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64).astype("float32")
+    # make ids 0..4 have a planted near neighbor at id+20 (tiny perturbation)
+    for i in range(5):
+        base[i + 20] = base[i] + rng.randn(64).astype("float32") * 0.05
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = ann.brute_force_topk(vecs, queries, 1)
+    got = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
+    assert got == {i: i + 20 for i in range(5)}  # planted neighbor is rank 1
+    # LSH with few planes finds the same planted neighbors (identical buckets
+    # are near-guaranteed at 0.05 perturbation with 4 planes)
+    lsh = ann.lsh_topk(vecs, queries, 1, num_planes=4)
+    got_lsh = {r["query_id"]: r["neighbor_id"] for r in lsh.collect()}
+    recall = sum(1 for i in range(5) if got_lsh.get(i) == i + 20) / 5
+    assert recall >= 0.8
+
+
+def test_embedding_dedup(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 64).astype("float32")
+    base[10] = base[0] + rng.randn(64).astype("float32") * 0.01  # near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = ann.embedding_dedup_candidates(vecs, num_planes=4, min_cosine=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 10) in got
+    assert len(got) == 1  # random vectors in 64-d are near-orthogonal
