@@ -111,14 +111,66 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signature_fast(shingles: Column, num_hashes: int = 16) -> Column:
+    """Scale-path MinHash: xxhash64 with per-hash salt prefix (bigint
+    signature).  ~10× cheaper than the md5-hex variant (no hex string
+    materialization); used where engine-portability of the exact hash
+    values is not required (the md5 variant remains the oracle-checked
+    contract)."""
+
+    def _hasher(salt: str):
+        return lambda s: F.xxhash64(F.concat(F.lit(salt), s))
+
+    sigs = [
+        F.array_min(F.transform(shingles, _hasher(f"{i}:")))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
 def lsh_band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     """Array of band keys: band_id || md5(concat of that band's rows)."""
     keys = []
     for b in range(num_bands):
         start = b * rows_per_band + 1  # slice is 1-based
-        band = F.slice(sig, start, rows_per_band)
+        band = F.slice(sig.cast("array<string>"), start, rows_per_band)
         keys.append(F.concat(F.lit(f"b{b}:"), F.md5(F.array_join(band, "|"))))
     return F.array(*keys)
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig array<long>, sh array<string>) per doc with ≥1 shingle.
+
+    Scale formulation: explode shingles → `num_hashes` native xxhash64
+    columns (whole-stage codegen — NOT interpreted `transform` lambdas,
+    which cost ~1µs/element and dominated the naive plan) → one groupBy
+    with map-side combine (per-partition partial min) so the shuffle
+    carries one row of k longs + the distinct-shingle set per doc.
+    Docs with no shingles (< n words) are excluded by construction —
+    they cannot be near-dup candidates.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    hash_cols = [
+        F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    hashed = ex.select("id", F.col("s"), *hash_cols)
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("s").alias("sh"),
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"), "sh"
+    )
 
 
 def minhash_lsh_candidates(
@@ -135,30 +187,47 @@ def minhash_lsh_candidates(
     Output: (id_a, id_b, n_shared_bands) with id_a < id_b.  The join runs
     bucket-by-bucket (explode band keys → self-join on key), so cost is
     Σ B_k² over buckets, never n².  Buckets larger than `max_bucket` are
-    dropped (boilerplate explosion guard — mirrors the reference's block
-    cap; at web scale a giant bucket means a degenerate shingle, not real
-    near-dups).
+    dropped (explosion guard — mirrors the reference's 1000-record block
+    cap; at web scale a giant bucket means degenerate boilerplate, not
+    real near-dups).
     """
+    sigs = minhash_signature_df(df, text_col, id_col, shingle_n, num_hashes)
+    return _lsh_pairs_from_sigs(sigs, num_hashes, num_bands, max_bucket).select(
+        "id_a", "id_b", "n_shared_bands"
+    )
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame, num_hashes: int, num_bands: int, max_bucket: int
+) -> DataFrame:
+    """(id, sig, sh) → candidate pairs carrying both shingle sets."""
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(lsh_band_keys(sig, num_bands, rows_per_band)).alias("band_key"),
+    keyed = sigs.select(
+        "id",
+        "sh",
+        F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key"),
     )
-    # cap bucket sizes
-    sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
-    keyed = keyed.join(
-        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), "band_key", "left_anti"
-    )
+    # bucket-size cap via window count: one shuffle, no plan re-execution
+    from pyspark.sql.window import Window
+
+    keyed = keyed.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+    ).filter(F.col("bsz") <= max_bucket)
     a = keyed.alias("a")
     b = keyed.alias("b")
-    pairs = (
+    return (
         a.join(b, on="band_key")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first("a.sh").alias("sh_a"),
+            F.first("b.sh").alias("sh_b"),
+        )
     )
-    return pairs
 
 
 def minhash_near_duplicates(
@@ -172,27 +241,20 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Candidates → verify with true n-gram Jaccard ≥ threshold.
 
-    Verification joins the shingle arrays back in (only for candidate ids —
-    a semi-join-sized shuffle, not the corpus).
-    Output: (id_a, id_b, jaccard).
+    The candidate pairs already carry both shingle sets (picked up in the
+    banding join), so verification is a pure projection — no extra join,
+    no second scan of the corpus.  Output: (id_a, id_b, jaccard).
     """
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, shingle_n, num_hashes, num_bands
-    )
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
-    out = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
+    sigs = minhash_signature_df(df, text_col, id_col, shingle_n, num_hashes)
+    pairs = _lsh_pairs_from_sigs(sigs, num_hashes, num_bands, max_bucket=1000)
+    return (
+        pairs.select(
             "id_a",
             "id_b",
             jaccard_similarity(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
