@@ -36,6 +36,13 @@ HEADLINE = [
     "ann_lsh_top3",
     "doc_token_counts",
     "doc_fingerprints",
+    "record_linkage_parts",
+    "record_clusters_parts",
+    "survivorship_most_common",
+    "reservoir_orders_k20",
+    "keyer_profile_parts",
+    "normalize_profile_parts",
+    "phone_profile_customers",
 ]
 
 

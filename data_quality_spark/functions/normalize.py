@@ -1,0 +1,119 @@
+"""String normalization / conversion operators.
+
+Reference: dataquality-converters (`converters/*.java`) + common string
+handlers (SURVEY.md §2.6).  Native expressions where possible; NFKC runs in
+a pandas UDF (Unicode normalization tables aren't expressible in Catalyst).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def collapse_duplicate_chars(c: Column) -> Column:
+    """DuplicateCharEraser (`converters/DuplicateCharEraser.java:64`):
+    collapse runs of the same char to one.  Java backreference regex."""
+    return F.regexp_replace(c, r"(.)\1+", "$1")
+
+
+def collapse_duplicate_of(c: Column, ch: str) -> Column:
+    """Collapse runs of one specific char (DuplicateCharEraser ctor arg)."""
+    import re as _re
+
+    esc = _re.escape(ch)
+    return F.regexp_replace(c, f"({esc})\\1+", "$1")
+
+
+def trim_whitespace(c: Column) -> Column:
+    """StringTrimmer: full Unicode-space trim (Java trim only cuts ≤ U+0020;
+    the reference also strips NBSP variants, `StringTrimmer.java:58-126`)."""
+    return F.regexp_replace(c, r"^[\s   ]+|[\s   ]+$", "")
+
+
+def trim_char(c: Column, ch: str) -> Column:
+    import re as _re
+
+    esc = _re.escape(ch)
+    return F.regexp_replace(c, f"^(?:{esc})+|(?:{esc})+$", "")
+
+
+def full_to_half_width(c: Column) -> Column:
+    """CharWidthConverter full→half for the ASCII range (offset 0xFEE0) +
+    ideographic space (`converters/character/CharWidthConverter.java:43-55`)."""
+    full = "".join(chr(cp) for cp in range(0xFF01, 0xFF5F)) + "　"
+    half = "".join(chr(cp - 0xFEE0) for cp in range(0xFF01, 0xFF5F)) + " "
+    return F.translate(c, full, half)
+
+
+def half_to_full_width(c: Column) -> Column:
+    full = "".join(chr(cp) for cp in range(0xFF01, 0xFF5F)) + "　"
+    half = "".join(chr(cp - 0xFEE0) for cp in range(0xFF01, 0xFF5F)) + " "
+    return F.translate(c, half, full)
+
+
+@F.pandas_udf(StringType())
+def nfkc_normalize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """NFKC normalization (CharWidthConverter NFKC mode) — Arrow-batched."""
+    import unicodedata
+
+    for s in batches:
+        yield s.map(
+            lambda v: unicodedata.normalize("NFKC", v) if v is not None else None
+        )
+
+
+def title_case(c: Column) -> Column:
+    """StringHandler title case (`common/character/StringHandler.java`)."""
+    return F.initcap(c)
+
+
+def acronym(c: Column, sep: str = "") -> Column:
+    """Acronym builder (`common/character/Acronym.java:31`): first char of
+    each token, upper-cased."""
+    words = F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+    return F.array_join(
+        F.transform(words, lambda w: F.upper(F.substring(w, 1, 1))), sep
+    )
+
+
+# --- unit conversions (converters/DurationConverter, DistanceConverter) ----
+
+_DISTANCE_TO_METERS = {
+    "mm": 0.001, "cm": 0.01, "dm": 0.1, "m": 1.0, "dam": 10.0, "hm": 100.0,
+    "km": 1000.0, "in": 0.0254, "ft": 0.3048, "yd": 0.9144, "mi": 1609.344,
+}
+
+_DURATION_TO_SECONDS = {
+    "ms": 0.001, "s": 1.0, "min": 60.0, "h": 3600.0, "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def convert_distance(c: Column, from_unit: str, to_unit: str) -> Column:
+    """DistanceConverter (`converters/DistanceConverter.java:36,68`)."""
+    factor = _DISTANCE_TO_METERS[from_unit] / _DISTANCE_TO_METERS[to_unit]
+    return c.cast("double") * F.lit(factor)
+
+
+def convert_duration(c: Column, from_unit: str, to_unit: str) -> Column:
+    """DurationConverter (`converters/DurationConverter.java:31,106`)."""
+    factor = _DURATION_TO_SECONDS[from_unit] / _DURATION_TO_SECONDS[to_unit]
+    return c.cast("double") * F.lit(factor)
+
+
+def reformat_date(c: Column, from_fmt: str, to_fmt: str) -> Column:
+    """DateCalendarConverter format path (`converters/DateCalendarConverter.
+    java:178`): parse with one pattern, format with another."""
+    return F.date_format(F.to_timestamp(c, from_fmt), to_fmt)
+
+
+def julian_day(c: Column) -> Column:
+    """JulianDayConverter (`converters/JulianDayConverter.java:41`): days
+    since the Julian epoch (unix epoch = JD 2440587.5; date-at-midnight
+    convention → 2440588)."""
+    return (F.unix_date(F.to_date(c)) + F.lit(2440588)).cast("long")

@@ -1,0 +1,300 @@
+"""Record linkage: attribute similarity matchers, blocking keys, record-level
+weighted matching, and per-block clustering (the reference's match-merge).
+
+Reference architecture (SURVEY.md §2.5): 14 attribute matchers implementing
+`getWeight(a,b) ∈ [0,1]` (`record/linkage/attribute/*.java`), a weighted-sum
+record matcher with blocked-attribute short-circuit
+(`SimpleVSRRecordMatcher.java:37-65`), blocking keys to bound the quadratic
+match cost (`genkey/BlockingKeyHandler.java:81`), and an in-memory
+match-or-merge loop per block (`matchmerge/mfb/MFB.java:113-147`).
+
+Spark re-expression:
+- matchers that have JVM built-ins (levenshtein, soundex, exact) are column
+  expressions; phonetic/Jaro family run in ONE Arrow pandas UDF per pair
+  batch (pure-Python implementations — deterministic, no native deps);
+- blocking = `repartition(block_key)`-shaped self-join on the key;
+- per-block clustering = `applyInPandas` running a tiny union-find over the
+  block's candidate pairs — the MFB queue loop collapses to connected
+  components because our merge is survivorship-style (order-independent),
+  which restores determinism the reference's order-sensitive loop lacks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+# ---------------------------------------------------------------------------
+# Attribute matchers — native where Spark has the primitive
+# ---------------------------------------------------------------------------
+
+
+def exact_weight(a: Column, b: Column) -> Column:
+    """ExactMatcher (`attribute/ExactMatcher.java:21`)."""
+    return F.when(a == b, 1.0).otherwise(0.0)
+
+
+def exact_ignore_case_weight(a: Column, b: Column) -> Column:
+    return F.when(F.lower(a) == F.lower(b), 1.0).otherwise(0.0)
+
+
+def levenshtein_weight(a: Column, b: Column) -> Column:
+    """LevenshteinMatcher: 1 - dist/maxLen (`attribute/LevenshteinMatcher.
+    java:32-44`); both empty → 1.0."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, 1.0).otherwise(1.0 - F.levenshtein(a, b) / mx)
+
+
+def soundex_weight(a: Column, b: Column) -> Column:
+    """SoundexMatcher: phonetic code equality (`attribute/SoundexMatcher.java:23`)."""
+    return F.when(F.soundex(a) == F.soundex(b), 1.0).otherwise(0.0)
+
+
+def qgram_weight(a: Column, b: Column, q: int = 2) -> Column:
+    """QGramsMatcher: q-gram profile overlap (`attribute/QGramsMatcher.java:56`)
+    — Jaccard over character q-gram sets, native sequence/transform."""
+
+    def grams(c: Column) -> Column:
+        n = F.length(c)
+        return F.when(
+            n >= q,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n - (q - 1)), lambda i: c.substr(i, F.lit(q)))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    ga, gb = grams(a), grams(b)
+    union = F.size(F.array_union(ga, gb))
+    return F.when(union > 0, F.size(F.array_intersect(ga, gb)) / union).otherwise(1.0)
+
+
+# --- Python-side matchers (Jaro family, metaphone, hamming, LCS) -----------
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Jaro similarity (public algorithm; code-point based like
+    `attribute/JaroMatcher.java:42-78`)."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * p * (1.0 - j)
+
+
+def _hamming(s1: str, s2: str) -> float:
+    """HammingMatcher: equal-length per-char agreement, else 0
+    (`attribute/HammingMatcher.java:33-41`)."""
+    if len(s1) != len(s2):
+        return 0.0
+    if not s1:
+        return 1.0
+    same = sum(1 for a, b in zip(s1, s2) if a == b)
+    return same / len(s1)
+
+
+def _lcs(s1: str, s2: str) -> float:
+    """LCSMatcher: longest common subsequence ratio (`attribute/LCSMatcher.java:20`)."""
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 and n2 == 0:
+        return 1.0
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    prev = [0] * (n2 + 1)
+    for i in range(1, n1 + 1):
+        cur = [0] * (n2 + 1)
+        c1 = s1[i - 1]
+        for j in range(1, n2 + 1):
+            if c1 == s2[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[n2] / max(n1, n2)
+
+
+_PY_MATCHERS = {
+    "jaro": _jaro,
+    "jaro_winkler": _jaro_winkler,
+    "hamming": _hamming,
+    "lcs": _lcs,
+}
+
+
+def py_matcher_weight(kind: str, a: Column, b: Column) -> Column:
+    """Arrow-batched pairwise weight for the Python-side matchers."""
+    fn = _PY_MATCHERS[kind]
+
+    @F.pandas_udf(DoubleType())
+    def _w(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for s1, s2 in batches:
+            out = [
+                0.0 if (x is None or y is None) else fn(str(x), str(y))
+                for x, y in zip(s1, s2)
+            ]
+            yield pd.Series(out, dtype="float64")
+
+    return _w(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Record-level matcher (SimpleVSR semantics)
+# ---------------------------------------------------------------------------
+
+
+def vsr_record_weight(
+    weights: list[tuple[Column, float]],
+    blocked: list[tuple[Column, float]] | None = None,
+) -> Column:
+    """Weighted sum of attribute weights, with blocked-attribute
+    short-circuit: if any blocked attribute scores below its threshold the
+    record weight is 0 (`SimpleVSRRecordMatcher.java:37-65`)."""
+    total = sum(w for _c, w in weights)
+    s = None
+    for c, w in weights:
+        term = c * F.lit(w / total)
+        s = term if s is None else s + term
+    if blocked:
+        gate = F.lit(True)
+        for c, thr in blocked:
+            gate = gate & (c >= F.lit(thr))
+        return F.when(gate, s).otherwise(F.lit(0.0))
+    return s
+
+
+def combined_record_weight(*rule_weights: Column) -> Column:
+    """CombinedRecordMatcher: max over rules (`record/CombinedRecordMatcher.
+    java:45-52`)."""
+    return F.greatest(*rule_weights)
+
+
+# ---------------------------------------------------------------------------
+# Blocking + candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def candidate_pairs(
+    df: DataFrame, id_col: str, block_key: Column, max_block: int = 1000
+) -> DataFrame:
+    """Self-join within blocking-key groups: (block_key, id_a, id_b) plus
+    both sides' attributes prefixed a_/b_.  Blocks larger than `max_block`
+    are dropped (the reference's block cap, `StringsClusterAnalyzer.java:57`).
+    """
+    from pyspark.sql.window import Window
+
+    keyed = df.withColumn("_bk", block_key)
+    keyed = keyed.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("_bk"))
+    ).filter(F.col("_bsz") <= max_block).drop("_bsz")
+    cols = [c for c in df.columns]
+    a = keyed.select(
+        F.col("_bk"), *[F.col(c).alias(f"a_{c}") for c in cols]
+    ).alias("a")
+    b = keyed.select(
+        F.col("_bk"), *[F.col(c).alias(f"b_{c}") for c in cols]
+    ).alias("b")
+    return a.join(b, "_bk").filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+
+
+# ---------------------------------------------------------------------------
+# Per-block clustering (match-merge → connected components)
+# ---------------------------------------------------------------------------
+
+
+def cluster_matches(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Matched pairs → connected-component cluster ids, fully distributed.
+
+    Iterative min-label propagation: every node's label becomes the min of
+    its own and its neighbors' labels; converges in O(component diameter)
+    rounds (matched near-dup components are shallow — typically 2-3 rounds).
+    This replaces the reference's order-sensitive in-memory MFB queue
+    (`matchmerge/mfb/MFB.java:113-147`) with an order-independent fixpoint —
+    deterministic under any partitioning, no driver-side state.
+
+    Output: (id, cluster_id) with cluster_id = min id of the component.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+        .union(pairs.select(F.col(id_b).alias("x"), F.col(id_a).alias("y")))
+        .distinct()
+        .cache()  # re-read every round: never recompute the matching lineage
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("cluster_id").alias("nmin"))
+            .withColumnRenamed("x", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

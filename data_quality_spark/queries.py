@@ -841,6 +841,226 @@ QUERIES["ann_lsh_top3"] = ann_lsh_top3
 QUERIES["doc_signatures"] = doc_signatures
 
 
+# ---------------------------------------------------------------------------
+# Record linkage (operators/matching.py) — fuzzy self-join within blocks
+# ---------------------------------------------------------------------------
+
+_SQL_FP_PNAME = """
+    array_to_string(list_sort(list_distinct(
+      list_filter(regexp_split_to_array(
+        regexp_replace(lower(trim(p_name)), '[^a-z0-9 ]', '', 'g'), ' +'),
+        x -> x <> ''))), ' ')
+"""
+
+
+@_register(
+    "record_linkage_parts",
+    f"""
+    WITH k AS (
+      SELECT p_partkey, p_name, {_SQL_FP_PNAME} AS bk FROM part
+    ), sized AS (
+      SELECT *, count(*) OVER (PARTITION BY bk) AS bsz FROM k
+    ), pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS name_a, b.p_name AS name_b
+      FROM sized a JOIN sized b ON a.bk = b.bk AND a.p_partkey < b.p_partkey
+      WHERE a.bsz <= 1000
+    )
+    SELECT id_a, id_b,
+      CASE WHEN greatest(length(name_a), length(name_b)) = 0 THEN 1.0
+           ELSE 1.0 - levenshtein(name_a, name_b) / greatest(length(name_a), length(name_b))
+      END AS lev_weight,
+      CASE WHEN name_a = name_b THEN 1.0 ELSE 0.0 END AS exact_weight
+    FROM pairs
+    """,
+)
+def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking (fingerprint key) → in-block candidate pairs → attribute
+    weights (SimpleVSR building blocks, SURVEY §2.5)."""
+    from .functions.keyers import fingerprint_key
+    from .operators.matching import candidate_pairs, exact_weight, levenshtein_weight
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = candidate_pairs(part, "p_partkey", fingerprint_key(F.col("p_name")))
+    return pairs.select(
+        F.col("a_p_partkey").alias("id_a"),
+        F.col("b_p_partkey").alias("id_b"),
+        levenshtein_weight(F.col("a_p_name"), F.col("b_p_name")).alias("lev_weight"),
+        exact_weight(F.col("a_p_name"), F.col("b_p_name")).alias("exact_weight"),
+    )
+
+
+def record_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full match→cluster pipeline (iterative label propagation → rows-only)."""
+    from .functions.keyers import fingerprint_key
+    from .operators.matching import candidate_pairs, cluster_matches, levenshtein_weight
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = candidate_pairs(part, "p_partkey", fingerprint_key(F.col("p_name")))
+    matched = pairs.select(
+        F.col("a_p_partkey").alias("id_a"),
+        F.col("b_p_partkey").alias("id_b"),
+    ).where(levenshtein_weight(F.col("a_p_name"), F.col("b_p_name")) >= 0.8)
+    return cluster_matches(matched)
+
+
+QUERIES["record_clusters_parts"] = record_clusters_parts
+
+
+# ---------------------------------------------------------------------------
+# Survivorship extras (operators/survivorship.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "survivorship_most_common",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+      (max(struct_pack(c := cnt, v := o_orderpriority))).v AS survivor
+    FROM counts GROUP BY o_orderstatus
+    """,
+)
+def survivorship_most_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MostCommon with deterministic tiebreak (struct-max argmax)."""
+    from .operators.survivorship import most_common_deterministic
+
+    o = _read(spark, sf_dir, "orders")
+    return most_common_deterministic(o, ["o_orderstatus"], "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Sampling (operators/sampling.py) — hash-uniform reservoir
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "reservoir_orders_k20",
+    """
+    SELECT o_orderkey FROM orders
+    ORDER BY md5('42:' || CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 20
+    """,
+)
+def reservoir_orders_k20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic reservoir: smallest k by seeded hash order
+    (hex-lex order ≡ numeric hash-uniform order; TakeOrderedAndProject —
+    only k rows per partition move).  `sampling.reservoir_k` (the
+    double-valued variant) is unit-tested separately."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey")
+    h = F.md5(F.concat(F.lit("42:"), F.col("o_orderkey").cast("string")))
+    return o.orderBy(h.asc(), F.col("o_orderkey").asc()).limit(20)
+
+
+def weighted_reservoir_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Res weighted reservoir (pow() bit-patterns are libm-dependent →
+    rows-only; unweighted variant above is the oracle-checked one)."""
+    from .operators.sampling import weighted_reservoir_k
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_reservoir_k(o, 20, "o_orderkey", "o_totalprice")
+
+
+QUERIES["weighted_reservoir_orders"] = weighted_reservoir_orders
+
+
+# ---------------------------------------------------------------------------
+# Keyers + normalization + email/phone (functions/*)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "keyer_profile_parts",
+    f"""
+    SELECT p_partkey,
+      {_SQL_FP_PNAME} AS fp,
+      substr(p_name, 1, 3) AS first3,
+      substr(p_name, length(p_name) - 1, 2) AS last2,
+      array_to_string(list_transform(
+        list_filter(regexp_split_to_array(p_name, '\\s+'), x -> x <> ''),
+        w -> upper(substr(w, 1, 1))), '') AS acr
+    FROM part
+    """,
+)
+def keyer_profile_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.keyers import fingerprint_key, first_n_chars, last_n_chars
+    from .functions.normalize import acronym
+
+    part = _read(spark, sf_dir, "part")
+    p = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        fingerprint_key(p).alias("fp"),
+        first_n_chars(p, 3).alias("first3"),
+        last_n_chars(p, 2).alias("last2"),
+        acronym(p).alias("acr"),
+    )
+
+
+@_register(
+    "normalize_profile_parts",
+    """
+    WITH c AS (
+      SELECT p_partkey, p_name, string_split(p_name, '') AS ch FROM part
+    )
+    SELECT p_partkey,
+      array_to_string(list_filter(ch, (x, i) -> i = 1 OR ch[i-1] <> x), '') AS collapsed,
+      trim(p_name) AS trimmed,
+      upper(p_name) AS uppered
+    FROM c
+    """,
+)
+def normalize_profile_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuplicateCharEraser + trims as expressions (converters §2.6)."""
+    from .functions.normalize import collapse_duplicate_chars
+
+    part = _read(spark, sf_dir, "part")
+    p = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        collapse_duplicate_chars(p).alias("collapsed"),
+        F.trim(p).alias("trimmed"),
+        F.upper(p).alias("uppered"),
+    )
+
+
+@_register(
+    "phone_profile_customers",
+    """
+    WITH p AS (
+      SELECT c_custkey,
+        '(' || CAST(200 + c_custkey % 800 AS VARCHAR) || ') '
+            || CAST(100 + c_custkey % 900 AS VARCHAR) || '-'
+            || CAST(1000 + c_custkey % 9000 AS VARCHAR) AS phone
+      FROM customer
+    )
+    SELECT
+      CAST(sum(CASE WHEN regexp_matches(phone,
+        '^\\+?1?[-. (]*([2-9][0-9]{2})[-. )]*([0-9]{3})[-. ]*([0-9]{4})$') THEN 1 ELSE 0 END) AS BIGINT) AS valid_cnt,
+      CAST(sum(CASE WHEN length(regexp_replace(phone, '[^0-9]', '', 'g')) BETWEEN 7 AND 15 THEN 1 ELSE 0 END) AS BIGINT) AS possible_cnt,
+      CAST(count(*) AS BIGINT) AS total
+    FROM p
+    """,
+)
+def phone_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phone validation counts over synthesized NANP-shaped numbers
+    (PhoneNumberHandlerBase.isValid/isPossible analogs)."""
+    from .functions.emailphone import is_possible_phone, is_valid_phone
+
+    cust = _read(spark, sf_dir, "customer")
+    phone = F.concat(
+        F.lit("("), (F.lit(200) + F.col("c_custkey") % 800).cast("string"),
+        F.lit(") "), (F.lit(100) + F.col("c_custkey") % 900).cast("string"),
+        F.lit("-"), (F.lit(1000) + F.col("c_custkey") % 9000).cast("string"),
+    )
+    return cust.agg(
+        F.sum(F.when(is_valid_phone(phone), 1).otherwise(0)).cast("long").alias("valid_cnt"),
+        F.sum(F.when(is_possible_phone(phone), 1).otherwise(0)).cast("long").alias("possible_cnt"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quality pipeline over `documents` mapped to the pages
     shape (url=doc://id).  Not SQL-expressible (pandas-UDF langid + LM)."""

@@ -1,0 +1,98 @@
+"""Keyers, normalization, email/phone validation — hand-computed goldens."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_quality_spark.functions import emailphone as EP
+from data_quality_spark.functions import keyers as K
+from data_quality_spark.functions import normalize as N
+
+
+def _one(spark, val, expr):
+    df = spark.createDataFrame([(val,)], "v string")
+    return df.select(expr(F.col("v")).alias("o")).collect()[0]["o"]
+
+
+def test_fingerprint_key(spark):
+    # trim, lower, strip punct, sort+dedupe tokens, fold diacritics
+    assert _one(spark, "  Émile, Zola ZOLA!  ", K.fingerprint_key) == "emile zola"
+    assert _one(spark, "Smith John", K.fingerprint_key) == _one(
+        spark, "john SMITH", K.fingerprint_key
+    )
+
+
+def test_ngram_fingerprint_key(spark):
+    # "café" → strip space/punct → "café" → fold → bigrams {af, ca, fe} sorted
+    assert _one(spark, "Ca fé", lambda c: K.ngram_fingerprint_key(c, 2)) == "afcafe"
+
+
+def test_algobox_keys(spark):
+    assert _one(spark, "hello world", lambda c: K.first_n_chars(c, 3)) == "hel"
+    assert _one(spark, "hello", lambda c: K.last_n_chars(c, 2)) == "lo"
+    assert _one(spark, "hello world", lambda c: K.first_n_chars_each_word(c, 2)) == "hewo"
+    assert _one(spark, "hello", lambda c: K.first_n_consonants(c, 2)) == "hl"
+    assert _one(spark, "hello", lambda c: K.first_n_vowels(c, 2)) == "eo"
+    assert _one(spark, "abc", lambda c: K.pick_char(c, [1, 3])) == "ac"
+    assert _one(spark, "", lambda c: K.use_default(c, "X")) == "X"
+    assert _one(spark, "y", lambda c: K.use_default(c, "X")) == "y"
+
+
+def test_normalize(spark):
+    assert _one(spark, "aaabccd", N.collapse_duplicate_chars) == "abcd"
+    assert _one(spark, "a--b--c", lambda c: N.collapse_duplicate_of(c, "-")) == "a-b-c"
+    assert _one(spark, "  x  ", N.trim_whitespace) == "x"
+    assert _one(spark, "xxhixx", lambda c: N.trim_char(c, "x")) == "hi"
+    assert _one(spark, "ＡＢＣ１２３　ｘ", N.full_to_half_width) == "ABC123 x"
+    assert _one(spark, "ABC 123", N.half_to_full_width) == "ＡＢＣ　１２３"
+    assert _one(spark, "ﬁｌｅ ½", N.nfkc_normalize) == "file 1⁄2"
+    assert _one(spark, "hello world", N.title_case) == "Hello World"
+    assert _one(spark, "as soon as possible", lambda c: N.acronym(c)) == "ASAP"
+
+
+def test_conversions(spark):
+    df = spark.createDataFrame([(1500.0,)], "v double")
+    assert df.select(
+        N.convert_distance(F.col("v"), "m", "km").alias("o")
+    ).collect()[0]["o"] == pytest.approx(1.5)
+    assert df.select(
+        N.convert_duration(F.col("v"), "s", "min").alias("o")
+    ).collect()[0]["o"] == pytest.approx(25.0)
+    assert _one(spark, "31/01/2024", lambda c: N.reformat_date(c, "dd/MM/yyyy", "yyyy-MM-dd")) == "2024-01-31"
+    # JD for 2000-01-01 is 2451545 (noon convention → date-at-midnight 2451545)
+    assert _one(spark, "2000-01-01", N.julian_day) == 2451545
+
+
+def test_email_verify_chain(spark):
+    cases = {
+        "john@example.com": "VALID",
+        "bad email@example.com": "INVALID",
+        "john@spam.net": "INVALID",        # blacklisted
+        "john@other.org": "INVALID",       # TLD not whitelisted
+        "John@example.com": "CORRECTED",   # uppercase → corrected
+    }
+    expr = lambda c: EP.email_verify(
+        c,
+        domain_blacklist=("spam.net",),
+        tld_whitelist=("com", "edu"),
+        lowercase_correction=True,
+    )
+    for email, want in cases.items():
+        assert _one(spark, email, expr) == want, email
+
+
+def test_email_parts(spark):
+    assert _one(spark, "a.b@mail.example.org", EP.email_domain) == "mail.example.org"
+    assert _one(spark, "a.b@mail.example.org", EP.email_local_part) == "a.b"
+    assert _one(spark, "a.b@mail.example.org", EP.email_tld) == "org"
+
+
+def test_phone(spark):
+    assert _one(spark, "(555) 123-4567", lambda c: EP.is_valid_phone(c)) is True
+    assert _one(spark, "+1 555 123 4567", lambda c: EP.is_valid_phone(c)) is True
+    assert _one(spark, "123", lambda c: EP.is_valid_phone(c)) is False
+    assert _one(spark, "(555) 123-4567", EP.format_e164) == "+15551234567"
+    assert _one(spark, "5551234567", EP.format_national) == "(555) 123-4567"
+    assert _one(spark, "+44 20 7946 0958", EP.phone_region) == "GB"
+    assert _one(spark, "(555) 123-4567", EP.phone_region) == "US"
+    assert _one(spark, "12345", EP.is_possible_phone) is False
+    assert _one(spark, "5551234567", EP.is_possible_phone) is True
