@@ -20,6 +20,7 @@ column; results are invariant under repartitioning and parallelism level.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -151,53 +152,136 @@ def ellipsis_line_fraction(col: Column) -> Column:
     return F.when(F.size(ls) > 0, ell / F.size(ls)).otherwise(F.lit(0.0))
 
 
+# Scalar feature columns shared by the rule registry.  Two implementations
+# produce them identically:
+# - 'native': Catalyst expressions (used by the oracle-checked profiling
+#   queries — every value reproducible in DuckDB SQL);
+# - 'arrow':  ONE vectorized pandas UDF computing all features per batch
+#   (the pipeline hot path).  Spark's higher-order array functions are
+#   interpreted, ~µs per array element; thirteen features × hundreds of
+#   words per doc made the native rule stage the scaling bottleneck
+#   (it alone ran 3-5× slower than langid+ppl+scrub combined and scaled at
+#   1.5×/4-cores vs their 2.5×).  The Arrow pass restores UDF-stage scaling.
+# Equality of the two implementations is pytest-asserted on the fixture
+# corpus (test_rules_feature_parity).
 FEATURE_COLS: tuple[str, ...] = (
-    "_nchars", "_ws", "_lws", "_nw", "_sum_wlen", "_n_stop", "_n_distinct",
-    "_g2", "_g3", "_n_sym", "_n_cjk", "_n_alpha_w", "_lines",
+    "_nchars", "_nw", "_sum_wlen", "_n_stop", "_n_distinct",
+    "_n_g2", "_n_g2_distinct", "_n_g3", "_n_g3_distinct",
+    "_n_sym", "_n_cjk", "_n_alpha_w", "_n_lines", "_n_bullet", "_n_ellipsis",
 )
 
+_CJK_CLASS = r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]"
 
-def with_text_features(df, text_col: str = "text"):
-    """Attach the shared text-feature columns in THREE chained projections
-    (each building on the previous), so every expensive array (`split`,
-    lower-cased words, n-grams) is computed exactly once per row.
-
-    Why not one flat projection of rule expressions: Catalyst's
-    CollapseProject would be fine, but each rule re-deriving `split(...)`
-    multiplies interpreted higher-order-function work ~10×.  Sharing the
-    arrays turned the sf0.1 rule stage from ~19s to ~2s.
-    """
+def with_text_features_native(df, text_col: str = "text"):
+    """Native-expression feature computation (chained projections so each
+    expensive array is built once)."""
     c = F.col(text_col)
+    cjk_count = F.when(
+        c.rlike(_CJK_CLASS),
+        F.length(c) - F.length(F.regexp_replace(c, _CJK_CLASS, "")),
+    ).otherwise(F.lit(0))
     step1 = df.select(
         "*",
         F.length(c).alias("_nchars"),
-        words(c).alias("_ws"),
+        words(c).alias("__ws"),
         F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]", "")).alias("_n_sym"),
-        F.length(
-            F.regexp_replace(
-                c, r"[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]", ""
-            )
-        ).alias("_n_cjk"),
-        F.split(c, r"\n").alias("_lines"),
+        cjk_count.alias("_n_cjk"),
+        F.split(c, r"\n").alias("__lines"),
     )
-    ws = F.col("_ws")
+    ws = F.col("__ws")
+    lines = F.col("__lines")
     step2 = step1.select(
         "*",
-        F.transform(ws, lambda x: F.lower(x)).alias("_lws"),
+        F.transform(ws, lambda x: F.lower(x)).alias("__lws"),
         F.size(ws).alias("_nw"),
         F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x)).alias("_sum_wlen"),
         F.size(F.filter(ws, lambda x: x.rlike(r"\p{L}"))).alias("_n_alpha_w"),
+        F.size(lines).alias("_n_lines"),
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))).alias("_n_bullet"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).alias("_n_ellipsis"),
     )
-    lws = F.col("_lws")
+    lws = F.col("__lws")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     step3 = step2.select(
         "*",
         F.size(F.filter(lws, lambda x: F.array_contains(stop_arr, x))).alias("_n_stop"),
         F.size(F.array_distinct(lws)).alias("_n_distinct"),
-        ngrams_from_words(lws, 2).alias("_g2"),
-        ngrams_from_words(lws, 3).alias("_g3"),
+        ngrams_from_words(lws, 2).alias("__g2"),
+        ngrams_from_words(lws, 3).alias("__g3"),
     )
-    return step3
+    step4 = step3.select(
+        "*",
+        F.size("__g2").alias("_n_g2"),
+        F.size(F.array_distinct("__g2")).alias("_n_g2_distinct"),
+        F.size("__g3").alias("_n_g3"),
+        F.size(F.array_distinct("__g3")).alias("_n_g3_distinct"),
+    )
+    return step4.drop("__ws", "__lws", "__g2", "__g3", "__lines")
+
+
+# --- Arrow implementation ---------------------------------------------------
+
+import re as _re
+
+_RE_WS = _re.compile(r"[ \t\n\x0b\f\r]+")          # Java \s (ASCII)
+_RE_SYM = _re.compile(r"[^\w \t\n\x0b\f\r]|_")      # ≈ Java [^\p{L}\p{N}\s]
+_RE_CJK = _re.compile("[\u3040-\u30FF\u4E00-\u9FFF\uAC00-\uD7AF]")
+_RE_LETTER_ANY = _re.compile(r"[^\W\d_]")           # ≈ Java \p{L}
+_RE_BULLET = _re.compile(r"^[-*•]")
+_RE_ELLIPSIS = _re.compile(r"(\.\.\.|…)[ \t\x0b\f\r]*$")
+_STOPSET = frozenset(STOPWORDS)
+
+
+def compute_features_py(t: str | None) -> tuple:
+    """Pure-Python feature kernel — must match the native expressions
+    exactly (pytest-asserted).  One pass over the text."""
+    if t is None:
+        return tuple([None] * len(FEATURE_COLS))
+    ws = [w for w in _RE_WS.split(t) if w]
+    lws = [w.lower() for w in ws]
+    nw = len(ws)
+    g2 = list(zip(lws, lws[1:])) if nw >= 2 else []
+    g3 = list(zip(lws, lws[1:], lws[2:])) if nw >= 3 else []
+    lines = t.split("\n")
+    return (
+        len(t),
+        nw,
+        sum(len(w) for w in ws),
+        sum(1 for w in lws if w in _STOPSET),
+        len(set(lws)),
+        len(g2),
+        len(set(g2)),
+        len(g3),
+        len(set(g3)),
+        len(_RE_SYM.findall(t)),
+        len(_RE_CJK.findall(t)),
+        sum(1 for w in ws if _RE_LETTER_ANY.search(w)),
+        len(lines),
+        sum(1 for l in lines if _RE_BULLET.match(l.strip(" "))),
+        sum(1 for l in lines if _RE_ELLIPSIS.search(l)),
+    )
+
+
+def with_text_features_arrow(df, text_col: str = "text"):
+    """Arrow-batched feature computation: one pandas UDF → struct → expand."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField(n, IntegerType()) for n in FEATURE_COLS])
+
+    @F.pandas_udf(schema)
+    def _features(texts: pd.Series) -> pd.DataFrame:
+        rows = [compute_features_py(t) for t in texts]
+        return pd.DataFrame(rows, columns=list(FEATURE_COLS))
+
+    out = df.withColumn("__feat", _features(F.col(text_col)))
+    return out.select("*", "__feat.*").drop("__feat")
+
+
+def with_text_features(df, text_col: str = "text", impl: str = "arrow"):
+    """Attach the scalar text-feature columns (see FEATURE_COLS)."""
+    if impl == "native":
+        return with_text_features_native(df, text_col)
+    return with_text_features_arrow(df, text_col)
 
 
 def cjk_ratio(col: Column) -> Column:

@@ -111,6 +111,31 @@ def pattern_frequency(df: DataFrame, column: str) -> DataFrame:
     )
 
 
+def datetime_pattern_expr(col, formats: tuple[str, ...] = ti.DATE_FORMATS):
+    """Matched date pattern per value (DateTimePatternRecognizer,
+    `statistics/frequency/recognition/DateTimePatternRecognizer.java:47-63`):
+    first format that parses wins; null when none.  The cheap rlike
+    prefilter gates the expensive parse attempts
+    (SystemDateTimePatternManager.java:94-95 device)."""
+    cascade = F.when(~col.rlike(ti.DATE_PREFILTER_PATTERN), F.lit(None).cast("string"))
+    for fmt in formats:
+        cascade = cascade.when(
+            F.try_to_timestamp(col, F.lit(fmt)).isNotNull(), F.lit(fmt)
+        )
+    return cascade.otherwise(F.lit(None).cast("string"))
+
+
+def datetime_pattern_frequency(df: DataFrame, column: str) -> DataFrame:
+    """Pattern string → count (frequent-date-pattern profiling; feeds the
+    SortedList-style ordering of parse attempts)."""
+    return (
+        df.select(datetime_pattern_expr(F.col(column).cast("string")).alias("pattern"))
+        .filter(F.col("pattern").isNotNull())
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Frequency / top-k (DataTypeFrequencyAnalyzer.getTopK)
 # ---------------------------------------------------------------------------

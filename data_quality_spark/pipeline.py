@@ -14,7 +14,8 @@ import argparse
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import decide, langid, perplexity, rules, scrub
+from . import decide, rules, scrub
+from .analyze import with_analysis
 from .session import get_spark
 
 
@@ -25,9 +26,9 @@ def apply_quality_pipeline(pages: DataFrame, text_col: str = "text") -> DataFram
     Column-pruning note: `html` is never referenced, so the parquet scan
     never reads it (verified via .explain ReadSchema) — critical at 100 TB.
     """
-    df = rules.with_rule_columns(pages, text_col=text_col)
-    df = df.withColumn("lang_detected", langid.detect_lang(F.col(text_col)))
-    df = df.withColumn("ppl", perplexity.perplexity(F.col(text_col)))
+    df = with_analysis(pages, text_col)          # ONE Arrow pass: features+lang+ppl
+    df = rules.attach_rules(df, text_col=text_col)
+    df = df.drop("lang_conf")
     df = df.withColumn("scrubbed_text", scrub.scrub_expr(F.col(text_col)))
     df = decide.with_decision(df)
     return df

@@ -96,7 +96,7 @@ _SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS) + "]"
 )
 def doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_wide(spark, sf_dir, "documents")
-    feat = ts.with_text_features(docs, "text")
+    feat = ts.with_text_features(docs, "text", impl="native")
     return feat.select(
         "doc_id",
         F.col("_nchars").cast("long").alias("n_chars"),
@@ -140,17 +140,17 @@ def doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible subset of the rule registry over `documents`
     (the full registry incl. CJK gating runs in the pipeline query)."""
     docs = _read_wide(spark, sf_dir, "documents")
-    feat = ts.with_text_features(docs, "text")
+    feat = ts.with_text_features(docs, "text", impl="native")
     nw, nchars = F.col("_nw"), F.col("_nchars")
     mwl = F.col("_sum_wlen") / nw
-    g2 = F.col("_g2")
+    ng2, dg2 = F.col("_n_g2"), F.col("_n_g2_distinct")
     return feat.select(
         "doc_id",
         (nw >= MIN_WORDS).alias("rule_word_count"),
         ((nw > 0) & (mwl >= MIN_MEAN_WORD_LEN) & (mwl <= MAX_MEAN_WORD_LEN)).alias("rule_mean_word_length"),
         ((nchars == 0) | (F.col("_n_sym") / nchars <= MAX_SYMBOL_RATIO)).alias("rule_symbol_ratio"),
         (F.col("_n_stop") >= MIN_STOPWORD_COUNT).alias("rule_stopwords"),
-        ((F.size(g2) == 0) | (1.0 - F.size(F.array_distinct(g2)) / F.size(g2) <= MAX_DUP_2GRAM_FRACTION)).alias("rule_dup_2gram"),
+        ((ng2 == 0) | (1.0 - dg2 / ng2 <= MAX_DUP_2GRAM_FRACTION)).alias("rule_dup_2gram"),
         ((nw > 0) & (F.col("_n_distinct") / nw >= MIN_DISTINCT_WORD_RATIO)).alias("rule_distinct_words"),
     )
 
@@ -172,7 +172,7 @@ def doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_rule_hit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ValueQualityStatistics-style accounting: one partial+final aggregate."""
     docs = _read_wide(spark, sf_dir, "documents")
-    feat = ts.with_text_features(docs, "text")
+    feat = ts.with_text_features(docs, "text", impl="native")
     nw = F.col("_nw")
     return feat.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1059,6 +1059,86 @@ def phone_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_possible_phone(phone), 1).otherwise(0)).cast("long").alias("possible_cnt"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested / JSON quality (operators/nested.py) + datetime patterns
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "json_quality_props",
+    """
+    SELECT '_j.k' AS path,
+      CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                     AND trim(json_extract_string(props, '$.k')) <> ''
+                     AND regexp_matches(json_extract_string(props, '$.k'), '^[-+－＋]?[0-9０-９]+$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS valid_cnt,
+      CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                     OR trim(json_extract_string(props, '$.k')) = ''
+               THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
+      CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                     AND trim(json_extract_string(props, '$.k')) <> ''
+                     AND NOT regexp_matches(json_extract_string(props, '$.k'), '^[-+－＋]?[0-9０-９]+$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS invalid_cnt
+    FROM events
+    """,
+)
+def json_quality_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-leaf validity over JSON (AvroQualityAnalyzer dotted-path analog,
+    `common/inference/AvroQualityAnalyzer.java:100-122`)."""
+    from .operators.nested import json_quality
+
+    ev = _read(spark, sf_dir, "events")
+    return json_quality(ev, "props", "k string", expected={"_j.k": "INTEGER"})
+
+
+@_register(
+    "datetime_patterns_orders",
+    """
+    WITH d AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0
+        THEN strftime(o_orderdate, '%Y-%m-%d')
+        ELSE strftime(o_orderdate, '%-m/%-d/%Y') END AS ds
+      FROM orders
+    )
+    SELECT
+      CASE WHEN regexp_matches(ds, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+           THEN 'yyyy-MM-dd' ELSE 'M/d/yyyy' END AS pattern,
+      CAST(count(*) AS BIGINT) AS cnt
+    FROM d GROUP BY 1
+    """,
+)
+def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-date-pattern profiling (DateTimePatternRecognizer) over a
+    mixed-format string column; the oracle states the ground truth of the
+    construction, so recognition is checked end-to-end."""
+    from .operators.profiling import datetime_pattern_frequency
+
+    o = _read(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .otherwise(F.date_format("o_orderdate", "M/d/yyyy"))
+        .alias("ds")
+    )
+    return datetime_pattern_frequency(mixed, "ds").select(
+        "pattern", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesized media table → mapInPandas feature
+    extraction (deterministic fake decode kernel; rows-only)."""
+    from .operators.multimodal import extract_media_features, synthesize_media
+
+    media = synthesize_media(spark, 500)
+    return extract_media_features(media)
+
+
+QUERIES["media_features"] = media_features
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

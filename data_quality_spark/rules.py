@@ -61,8 +61,8 @@ def _gated(rule: Column) -> Column:
     return F.when(_cjk_gate(), F.lit(True)).otherwise(rule)
 
 
-# Each builder returns a Column over the shared feature columns
-# (ts.with_text_features) + the raw text column.
+# Each builder returns a Column over the scalar feature columns
+# (ts.FEATURE_COLS, attached by ts.with_text_features) + the raw text column.
 
 
 def _r_word_count(c: Column) -> Column:
@@ -85,21 +85,17 @@ def _r_stopwords(c: Column) -> Column:
     return _gated(F.col("_n_stop") >= MIN_STOPWORD_COUNT)
 
 
-def _dup_frac(g: Column) -> Column:
-    return 1.0 - F.size(F.array_distinct(g)) / F.size(g)
-
-
 def _r_dup_2gram(c: Column) -> Column:
-    g = F.col("_g2")
+    n, d = F.col("_n_g2"), F.col("_n_g2_distinct")
     return _gated(
-        F.when(F.size(g) > 0, _dup_frac(g) <= MAX_DUP_2GRAM_FRACTION).otherwise(F.lit(True))
+        F.when(n > 0, 1.0 - d / n <= MAX_DUP_2GRAM_FRACTION).otherwise(F.lit(True))
     )
 
 
 def _r_dup_3gram(c: Column) -> Column:
-    g = F.col("_g3")
+    n, d = F.col("_n_g3"), F.col("_n_g3_distinct")
     return _gated(
-        F.when(F.size(g) > 0, _dup_frac(g) <= MAX_DUP_3GRAM_FRACTION).otherwise(F.lit(True))
+        F.when(n > 0, 1.0 - d / n <= MAX_DUP_3GRAM_FRACTION).otherwise(F.lit(True))
     )
 
 
@@ -121,15 +117,11 @@ def _r_char_count_cjk(c: Column) -> Column:
 
 
 def _r_bullet_lines(c: Column) -> Column:
-    ls = F.col("_lines")
-    bullet = F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"^[-*•]")))
-    return bullet / F.size(ls) <= MAX_BULLET_LINE_FRACTION
+    return F.col("_n_bullet") / F.col("_n_lines") <= MAX_BULLET_LINE_FRACTION
 
 
 def _r_ellipsis_lines(c: Column) -> Column:
-    ls = F.col("_lines")
-    ell = F.size(F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
-    return ell / F.size(ls) <= MAX_ELLIPSIS_LINE_FRACTION
+    return F.col("_n_ellipsis") / F.col("_n_lines") <= MAX_ELLIPSIS_LINE_FRACTION
 
 
 def _r_non_empty(c: Column) -> Column:
@@ -156,8 +148,24 @@ RULES: tuple[Rule, ...] = (
 RULE_NAMES: tuple[str, ...] = tuple(r.name for r in RULES)
 
 
+def attach_rules(
+    df_with_features: DataFrame,
+    text_col: str = "text",
+    prefix: str = "rule_",
+    drop_features: bool = True,
+) -> DataFrame:
+    """Rule booleans from already-attached feature columns (cheap scalar
+    expressions — one projection, codegen'd)."""
+    c = F.col(text_col)
+    cols = [F.coalesce(r.expr(c), F.lit(False)).alias(prefix + r.name) for r in RULES]
+    out = df_with_features.select("*", *cols)
+    if drop_features:
+        out = out.drop(*ts.FEATURE_COLS)
+    return out
+
+
 def with_rule_columns(
-    df: DataFrame, text_col: str = "text", prefix: str = "rule_"
+    df: DataFrame, text_col: str = "text", prefix: str = "rule_", impl: str = "arrow"
 ) -> DataFrame:
     """Attach one boolean column per rule in a single projection.
 
@@ -165,11 +173,7 @@ def with_rule_columns(
     analog of `Analyzers.with(...)` one-pass composition
     (`common/inference/Analyzers.java:48-67`).
     """
-    feat = ts.with_text_features(df, text_col)
-    c = F.col(text_col)
-    cols = [F.coalesce(r.expr(c), F.lit(False)).alias(prefix + r.name) for r in RULES]
-    out = feat.select("*", *cols)
-    return out.drop(*ts.FEATURE_COLS)
+    return attach_rules(ts.with_text_features(df, text_col, impl=impl), text_col, prefix)
 
 
 def keep_expr(prefix: str = "rule_") -> Column:
