@@ -178,6 +178,24 @@ def py_matcher_weight(kind: str, a: Column, b: Column) -> Column:
     return _w(a, b)
 
 
+def _sorted_tokens(c: Column) -> Column:
+    return F.array_join(
+        F.array_sort(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))), " "
+    )
+
+
+def anyorder_weight(a: Column, b: Column, base: str = "levenshtein") -> Column:
+    """Tokenized ANYORDER mode approximation: compare sorted-token forms
+    (`AbstractAttributeMatcher.java:100-119` runs Hungarian assignment over
+    token pairs; sorting is the deterministic O(n log n) approximation that
+    agrees whenever tokens match exactly — documented divergence for
+    partial-token matches)."""
+    sa, sb = _sorted_tokens(a), _sorted_tokens(b)
+    if base == "exact":
+        return F.when(sa == sb, 1.0).otherwise(0.0)
+    return levenshtein_weight(sa, sb)
+
+
 # ---------------------------------------------------------------------------
 # Record-level matcher (SimpleVSR semantics)
 # ---------------------------------------------------------------------------

@@ -1141,6 +1141,49 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["media_features"] = media_features
 
 
+_NATION_SYNONYMS = {
+    "United States": ["united states", "usa", "us"],
+    "Germany": ["germany", "de", "deutschland"],
+    "France": ["france", "fr"],
+}
+_SQL_STD_CASES = " ".join(
+    f"WHEN lower(n_name) IN ({', '.join(repr(s.lower()) for s in [std] + syns)}) THEN {std!r}"
+    for std, syns in _NATION_SYNONYMS.items()
+)
+
+
+@_register(
+    "standardize_nation",
+    f"""
+    SELECT n_nationkey,
+      CASE {_SQL_STD_CASES} ELSE n_name END AS n_std
+    FROM nation
+    """,
+)
+def standardize_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary standardization (Lucene synonym-index analog,
+    `standardization/index/SynonymIndexSearcher.java:172-237`)."""
+    from .operators.standardize import standardize_expr
+
+    n = _read(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        standardize_expr(F.col("n_name"), _NATION_SYNONYMS).alias("n_std"),
+    )
+
+
+def mask_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic same-class masking (TextPatternUtil.replaceCharacter
+    analog; xxhash64-seeded digit rotation → rows-only)."""
+    from .operators.standardize import mask_same_class
+
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select("c_custkey", mask_same_class(F.col("c_name")).alias("masked"))
+
+
+QUERIES["mask_customer_names"] = mask_customer_names
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quality pipeline over `documents` mapped to the pages
     shape (url=doc://id).  Not SQL-expressible (pandas-UDF langid + LM)."""
