@@ -1184,6 +1184,34 @@ def mask_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["mask_customer_names"] = mask_customer_names
 
 
+@_register(
+    "events_hourly_windows",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      min(value) AS min_val,
+      max(value) AS max_val
+    FROM events GROUP BY 1
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over event time — the batch twin of the
+    streaming windowed metrics (same `window()` operator semantics).
+    min/max only for the double column (float sums are order-dependent)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users", "min_val", "max_val")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quality pipeline over `documents` mapped to the pages
     shape (url=doc://id).  Not SQL-expressible (pandas-UDF langid + LM)."""
