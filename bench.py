@@ -43,6 +43,14 @@ HEADLINE = [
     "keyer_profile_parts",
     "normalize_profile_parts",
     "phone_profile_customers",
+    "json_quality_props",
+    "datetime_patterns_orders",
+    "standardize_nation",
+    "events_hourly_windows",
+    "quality_score_docs",
+    "salted_event_counts",
+    "top_order_per_status",
+    "profile_customer_table",
 ]
 
 

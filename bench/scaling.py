@@ -105,15 +105,23 @@ def main() -> None:
     p.add_argument("--data-dir", default=None)
     a = p.parse_args()
 
-    data_dir = a.data_dir or tempfile.mkdtemp(prefix="dqs_scaling_")
-    pages_path = os.path.join(data_dir, "pages")
+    # stable default dir so repeat invocations reuse the synthesized table
+    data_dir = a.data_dir or os.path.join(tempfile.gettempdir(), "dqs_scaling_data")
+    os.makedirs(data_dir, exist_ok=True)
+    pages_path = os.path.join(data_dir, f"pages_{a.docs}")
     if not os.path.exists(pages_path):
         print(f"synthesizing {a.docs} pages → {pages_path}", file=sys.stderr)
         synthesize(pages_path, a.docs)
 
     hw = hardware_ceiling(a.low, a.high)
+    # shared/noisy host: measure each level twice in separate JVMs and keep
+    # the faster run, interleaved so a slow window doesn't bias one level
     low = measure(a.low, pages_path)
     high = measure(a.high, pages_path)
+    low2 = measure(a.low, pages_path)
+    high2 = measure(a.high, pages_path)
+    low = max((low, low2), key=lambda r: r["docs_per_sec"])
+    high = max((high, high2), key=lambda r: r["docs_per_sec"])
     ratio = a.high / a.low
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
     result = {

@@ -229,6 +229,54 @@ def quantiles(df: DataFrame, column: str, probs: list[float], exact: bool = True
     return df.agg(*aggs)
 
 
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Full per-column profile in ONE aggregate pass — the Spark form of
+    `Analyzers.with(quality, type, cardinality, length…)` composing analyzers
+    over a single scan (`common/inference/Analyzers.java:48-67`).
+
+    Output (long format): one row per column with
+      (column_name, n_rows, n_empty, n_distinct_approx, min_len, max_len,
+       avg_len, n_boolean, n_integer, n_double, n_date, n_string)
+    Every counter is a partial-aggregation-friendly sum/min/max — a 100-column
+    profile of a 100 TB table is one scan + one tiny shuffle.
+    """
+    columns = columns or df.columns
+    aggs = []
+    for c in columns:
+        s = F.col(c).cast("string")
+        ln = F.length(s)
+        cls = ti.classify(s)
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__n_rows"),
+                F.sum(F.when(ti.is_empty(s), 1).otherwise(0)).alias(f"{c}__n_empty"),
+                F.approx_count_distinct(s, rsd=0.05).alias(f"{c}__n_distinct_approx"),
+                F.min(ln).alias(f"{c}__min_len"),
+                F.max(ln).alias(f"{c}__max_len"),
+                F.avg(ln).alias(f"{c}__avg_len"),
+                *[
+                    F.sum(F.when(cls == t, 1).otherwise(0)).alias(f"{c}__n_{t.lower()}")
+                    for t in ("BOOLEAN", "INTEGER", "DOUBLE", "DATE", "STRING")
+                ],
+            ]
+        )
+    wide = df.agg(*aggs)
+    fields = [
+        "n_rows", "n_empty", "n_distinct_approx", "min_len", "max_len",
+        "avg_len", "n_boolean", "n_integer", "n_double", "n_date", "n_string",
+    ]
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                *[F.col(f"{c}__{f}").cast("double").alias(f) for f in fields],
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(stacked).alias("p")).select("p.*")
+
+
 # ---------------------------------------------------------------------------
 # Text length (TextLengthAnalyzer — code-point semantics, with/without blanks)
 # ---------------------------------------------------------------------------

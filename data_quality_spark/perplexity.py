@@ -65,6 +65,32 @@ _NON_ALPHA = -8.5   # bigram touching a non [a-z ] char — junk signal
 _MAX_CHARS = 4000   # score a bounded prefix; cost O(1) per doc at 100 TB
 
 
+# 28-class alphabet: a-z → 0-25, '_' (collapsed whitespace) → 26, other → 27.
+# _TABLE[i,j] = log2 prob of the bigram — built once; scoring is a pair of
+# vectorized numpy lookups (the per-char Python loop was the dominant cost
+# of the fused analysis stage).
+import re as _re
+
+import numpy as _np
+
+# Unicode \s matches what str.isspace() matches - preserves the
+# original per-char collapse semantics
+_RE_WS_RUN = _re.compile(r"\s+", _re.UNICODE)
+
+
+def _build_table() -> "_np.ndarray":
+    t = _np.full((28, 28), _NON_ALPHA, dtype="float64")
+    t[:27, :27] = _FLOOR
+    for bg, lp in _COMMON_BIGRAMS.items():
+        i = 26 if bg[0] == "_" else ord(bg[0]) - 97
+        j = 26 if bg[1] == "_" else ord(bg[1]) - 97
+        t[i, j] = lp
+    return t
+
+
+_TABLE = _build_table()
+
+
 class _CharBigramLM:
     """Deterministic fallback LM. score(batch) -> pd.Series of perplexity."""
 
@@ -79,34 +105,20 @@ class _CharBigramLM:
 
     @staticmethod
     def _ppl(s: str) -> float:
-        # normalize: lowercase, collapse whitespace to '_'
-        norm = []
-        prev_space = False
-        for ch in s.lower():
-            if ch.isspace():
-                if not prev_space:
-                    norm.append("_")
-                prev_space = True
-            else:
-                norm.append(ch)
-                prev_space = False
-        ns = "".join(norm)
+        # normalize: lowercase, collapse whitespace runs to one '_'
+        ns = _RE_WS_RUN.sub("_", s.lower())
         if len(ns) < 2:
             return float("inf")
-        total = 0.0
-        n = 0
-        for i in range(len(ns) - 1):
-            a, b = ns[i], ns[i + 1]
-            bg = a + b
-            if bg in _COMMON_BIGRAMS:
-                total += _COMMON_BIGRAMS[bg]
-            elif ("a" <= a <= "z" or a == "_") and ("a" <= b <= "z" or b == "_"):
-                total += _FLOOR
-            else:
-                total += _NON_ALPHA
-            n += 1
-        # _COMMON_BIGRAMS magnitudes are treated as log2 probabilities
-        avg_log2 = total / n
+        # classify code units: a-z → 0-25, '_' → 26, everything else → 27
+        # (utf-16 code units: astral chars appear as surrogates — class 27,
+        # exactly what "other" means)
+        u = _np.frombuffer(ns.encode("utf-16-le"), dtype="<u2").astype("int64")
+        cls = _np.full(u.shape, 27, dtype="int64")
+        alpha = (u >= 97) & (u <= 122)
+        cls[alpha] = u[alpha] - 97
+        cls[u == 95] = 26
+        lp = _TABLE[cls[:-1], cls[1:]]
+        avg_log2 = float(lp.sum()) / (len(ns) - 1)
         return round(2.0 ** (-avg_log2), 4)
 
 

@@ -1212,6 +1212,92 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "quality_score_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS ws, {_SQL_LWORDS} AS lws FROM documents
+    )
+    SELECT doc_id,
+      ( least(CASE WHEN len(ws) > 0
+              THEN len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) / len(ws)
+              ELSE 0.0 END * 2.5, 1.0)
+      + CASE WHEN len(ws) > 0 THEN len(list_distinct(lws)) / len(ws) ELSE 0.0 END
+      + CASE WHEN len(ws) > 0
+             THEN len(list_filter(ws, x -> regexp_matches(x, '\\p{{L}}'))) / len(ws)
+             ELSE 0.0 END
+      + (1.0 - least(CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) / length(text)
+                     ELSE 0.0 END * 3.0, 1.0))
+      + CASE WHEN len(ws) BETWEEN 50 AND 5000 THEN 1.0
+             WHEN len(ws) > 0 THEN 0.5 ELSE 0.0 END
+      ) / 5.0 AS quality
+    FROM w
+    """,
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite prose-quality score — every term derives from integer
+    ratios, so the five-term sum is bit-identical across engines."""
+    from .operators.text_analysis import quality_score
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@_register(
+    "salted_event_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation == plain groupBy (the skew-defusing
+    template; oracle proves result-equivalence)."""
+    from .skew import salted_groupby_count
+
+    ev = _read(spark, sf_dir, "events")
+    return salted_groupby_count(ev, "event_type", "event_id")
+
+
+@_register(
+    "top_order_per_status",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def top_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (the reference's getTopK is a
+    driver-side sort of a hash map, `AbstractFrequencyStatistics.java:42-49`;
+    the window form distributes it)."""
+    from pyspark.sql.window import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )
+
+
+def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass composite profile (Analyzers.with analog; HLL distinct →
+    rows-only, the exact pieces are oracle-checked individually)."""
+    cust = _read(spark, sf_dir, "customer")
+    return prof.profile_table(cust)
+
+
+QUERIES["profile_customer_table"] = profile_customer_table
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quality pipeline over `documents` mapped to the pages
     shape (url=doc://id).  Not SQL-expressible (pandas-UDF langid + LM)."""

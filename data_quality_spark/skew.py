@@ -31,6 +31,27 @@ def salted_key(key_col: Column, salt_col: Column, buckets: int = DEFAULT_SALT_BU
     return F.concat_ws("#", key_col, salt.cast("string"))
 
 
+def salted_groupby_count(
+    df: DataFrame, key_col: str, salt_src_col: str, buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: count per (key, salt) first
+    (spreads a hot key over `buckets` reducers), then sum per key.
+
+    Result is identical to a plain groupBy().count() — the salting only
+    changes the physical shuffle shape.  For counts Spark's own partial
+    aggregation already defuses skew; the two-phase form matters for
+    aggregates without map-side combine (e.g. collect_list, exact
+    distinct), and is the template for them.
+    Output: (key_col, cnt).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(buckets))
+    phase1 = (
+        df.groupBy(F.col(key_col), salt.alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return phase1.groupBy(key_col).agg(F.sum("_c").cast("long").alias("cnt"))
+
+
 def repartition_by_salted_domain(
     df: DataFrame, url_col: str = "url", buckets: int = DEFAULT_SALT_BUCKETS, num_partitions: int | None = None
 ) -> DataFrame:
