@@ -158,6 +158,120 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means on a bounded deterministic sample.
+
+    Sampling uses the hash-uniform order (engine/partitioning invariant);
+    Lloyd iterations run in numpy on the driver — the sample is O(k·dim)
+    bounded, never the corpus.  Returns (n_centroids, dim) float64 array.
+    """
+    import numpy as np
+
+    from .sampling import reservoir_k
+
+    # deterministic sample keyed on the vector content hash
+    keyed = vectors.select(
+        F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>"))).alias("__k"),
+        vec_col,
+    )
+    rows = reservoir_k(keyed, sample, "__k", seed=seed).collect()
+    X = np.asarray([r[vec_col] for r in rows], dtype="float64")
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            mask = assign == c
+            if mask.any():
+                centroids[c] = X[mask].mean(axis=0)
+    return centroids
+
+
+def add_ivf_key(
+    df: DataFrame, centroids, vec_col: str = "embedding", out_col: str = "ivf_key"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (vectorized per batch)."""
+    from pyspark.sql.types import IntegerType
+
+    cent = centroids.copy()
+
+    @F.pandas_udf(IntegerType())
+    def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        c = np.asarray(cent, dtype="float64")
+        c_norm2 = (c * c).sum(axis=1)
+        for vecs in batches:
+            m = np.asarray(vecs.tolist(), dtype="float64")
+            # argmin over ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d = -2.0 * (m @ c.T) + c_norm2[None, :]
+            yield pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the query's `nprobe`
+    nearest inverted lists.
+
+    At 10^12 vectors this is the classic scale path: the corpus is
+    partitioned by centroid id once (bucketable/Iceberg-partitionable), and
+    each query touches nprobe/n_centroids of the data.  Same output shape
+    as brute_force_topk.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, vec_col, n_centroids, seed=seed)
+    v = add_ivf_key(vectors, centroids, vec_col)
+    # queries probe their nprobe nearest centroids
+    q_rows = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).collect()
+    c = np.asarray(centroids, dtype="float64")
+    probe_rows = []
+    for r in q_rows:
+        x = np.asarray(r["__qvec"], dtype="float64")
+        d = ((c - x) ** 2).sum(axis=1)
+        for key in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((r["__qid"], [float(t) for t in r["__qvec"]], int(key)))
+    spark = vectors.sparkSession
+    q = spark.createDataFrame(
+        probe_rows, f"__qid long, __qvec array<double>, ivf_key int"
+    )
+    joined = v.join(F.broadcast(q), on="ivf_key").filter(F.col(id_col) != F.col("__qid"))
+    scored = joined.select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_dedup_candidates(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -1288,6 +1288,49 @@ def top_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+        CASE WHEN epoch(ts) - lag(epoch(ts), 1, 0) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      CAST(count(*) AS INTEGER) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator; float value sums excluded — order-dependent)."""
+    from .streaming.sessionize import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return sessionize_batch(ev, gap_seconds=1800).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+def ann_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer top-3 (driver k-means on a bounded sample →
+    rows-only; exactness baseline ann_bruteforce_top3 is oracle-checked)."""
+    from .operators.ann import ivf_topk
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, 3, n_centroids=8, nprobe=3)
+
+
+QUERIES["ann_ivf_top3"] = ann_ivf_top3
+
+
 def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass composite profile (Analyzers.with analog; HLL distinct →
     rows-only, the exact pieces are oracle-checked individually)."""
