@@ -89,3 +89,30 @@ def test_datetime_pattern_frequency(spark):
     assert got["M/d/yyyy"] == 1
     assert got["d.M.yyyy"] == 1
     assert "notadate" not in got
+
+
+def test_nested_type_discovery(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        ('{"a": "12", "b": {"c": "true", "tags": ["3.5", "xyz"]}}',),
+        ('{"a": "abc", "b": {"c": "false", "tags": []}}',),
+        ('{"a": null, "b": {"c": "x", "tags": ["7"]}}',),
+    ]
+    df = spark.createDataFrame(rows, "j string").select(
+        F.from_json(
+            "j", "a string, b struct<c: string, tags: array<string>>"
+        ).alias("rec")
+    )
+    got = {
+        (r["path"], r["data_type"]): r["cnt"]
+        for r in NQ.nested_type_discovery(df, "rec").collect()
+    }
+    assert got[("rec.a", "INTEGER")] == 1
+    assert got[("rec.a", "STRING")] == 1
+    assert got[("rec.a", "EMPTY")] == 1
+    assert got[("rec.b.c", "BOOLEAN")] == 2
+    assert got[("rec.b.c", "STRING")] == 1
+    assert got[("rec.b.tags", "DOUBLE")] == 1
+    assert got[("rec.b.tags", "STRING")] == 1
+    assert got[("rec.b.tags", "INTEGER")] == 1
