@@ -113,12 +113,16 @@ class _CharBigramLM:
         # (utf-16 code units: astral chars appear as surrogates — class 27,
         # exactly what "other" means)
         u = _np.frombuffer(ns.encode("utf-16-le"), dtype="<u2").astype("int64")
+        if len(u) < 2:
+            return float("inf")
         cls = _np.full(u.shape, 27, dtype="int64")
         alpha = (u >= 97) & (u <= 122)
         cls[alpha] = u[alpha] - 97
         cls[u == 95] = 26
         lp = _TABLE[cls[:-1], cls[1:]]
-        avg_log2 = float(lp.sum()) / (len(ns) - 1)
+        # denominator = number of code-unit transitions (astral chars occupy
+        # two units; numerator and denominator must count the same pairs)
+        avg_log2 = float(lp.sum()) / (len(u) - 1)
         return round(2.0 ** (-avg_log2), 4)
 
 
