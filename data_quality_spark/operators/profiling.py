@@ -111,6 +111,41 @@ def pattern_frequency(df: DataFrame, column: str) -> DataFrame:
     )
 
 
+def word_pattern_expr(col):
+    """Word-level pattern (WordPatternRecognizer,
+    `statistics/frequency/recognition/WordPatternRecognizer.java:82,174-189`):
+    each token → its class tag, joined with the original separators reduced
+    to single spaces.
+
+    Classes (first match wins): [Number] all digits; [WORD] all upper;
+    [Word] capitalized; [word] all lower; [Ideogram]+ CJK run;
+    [alnum] mixed letters+digits; anything else kept verbatim (punct).
+    """
+    from ..functions.textstats import words as _words
+
+    def tag(w):
+        return (
+            F.when(w.rlike(r"^[0-9]+$"), F.lit("[Number]"))
+            .when(w.rlike(r"^[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]+$"), F.lit("[Ideogram]"))
+            .when(w.rlike(r"^[A-Z]+$"), F.lit("[WORD]"))
+            .when(w.rlike(r"^[A-Z][a-z]+$"), F.lit("[Word]"))
+            .when(w.rlike(r"^[a-z]+$"), F.lit("[word]"))
+            .when(w.rlike(r"^[A-Za-z0-9]+$"), F.lit("[alnum]"))
+            .otherwise(w)
+        )
+
+    return F.array_join(F.transform(_words(col), tag), " ")
+
+
+def word_pattern_frequency(df: DataFrame, column: str) -> DataFrame:
+    """Word-pattern → frequency table. Output: (pattern, cnt)."""
+    return (
+        df.select(word_pattern_expr(F.col(column).cast("string")).alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def datetime_pattern_expr(col, formats: tuple[str, ...] = ti.DATE_FORMATS):
     """Matched date pattern per value (DateTimePatternRecognizer,
     `statistics/frequency/recognition/DateTimePatternRecognizer.java:47-63`):

@@ -309,6 +309,38 @@ def pattern_freq_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SQL_WORD_TAG = """
+    CASE
+      WHEN regexp_matches(w, '^[0-9]+$') THEN '[Number]'
+      WHEN regexp_matches(w, '^[぀-ヿ一-鿿가-힯]+$') THEN '[Ideogram]'
+      WHEN regexp_matches(w, '^[A-Z]+$') THEN '[WORD]'
+      WHEN regexp_matches(w, '^[A-Z][a-z]+$') THEN '[Word]'
+      WHEN regexp_matches(w, '^[a-z]+$') THEN '[word]'
+      WHEN regexp_matches(w, '^[A-Za-z0-9]+$') THEN '[alnum]'
+      ELSE w
+    END
+"""
+
+
+@_register(
+    "word_pattern_freq_pname",
+    f"""
+    WITH t AS (
+      SELECT array_to_string(list_transform(
+        list_filter(regexp_split_to_array(p_name, '\\s+'), x -> x <> ''),
+        w -> {_SQL_WORD_TAG}), ' ') AS pattern
+      FROM part
+    )
+    SELECT pattern, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY pattern
+    """,
+)
+def word_pattern_freq_pname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level pattern profiling (WordPatternRecognizer analog)."""
+    return prof.word_pattern_frequency(_read(spark, sf_dir, "part"), "p_name").select(
+        "pattern", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 @_register(
     "topk_event_types",
     """

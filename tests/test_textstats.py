@@ -75,3 +75,10 @@ def test_cjk_ratio(spark):
     assert _one(spark, "中文中文", ts.cjk_ratio) == pytest.approx(1.0)
     assert _one(spark, "ab中文", ts.cjk_ratio) == pytest.approx(0.5)
     assert _one(spark, "abcd", ts.cjk_ratio) == pytest.approx(0.0)
+
+
+def test_word_pattern_expr(spark):
+    from data_quality_spark.operators.profiling import word_pattern_expr
+
+    got = _one(spark, "John SMITH bought 42 items, 中文 x9y", word_pattern_expr)
+    assert got == "[Word] [WORD] [word] [Number] items, [Ideogram] [alnum]"
