@@ -14,12 +14,16 @@ hash functions in anything the oracle must reproduce):
 - SimHash: 64-bit weighted-bit fingerprint via a pandas UDF (bit twiddling
   is not expressible as efficient Catalyst exprs), Hamming-band buckets.
 
-Scale notes: every operator shuffles only (key, id, signature) tuples —
-signatures are O(k) ints, so shuffle volume is independent of document
-size.  LSH banding keeps the candidate-pair count near-linear; a band
+Scale notes: no operator ever shuffles document text.  MinHash signatures
+are O(k) longs; the near-dup verify path additionally carries the
+per-doc distinct-shingle set HASHED to xxhash64 longs (8 bytes per
+distinct shingle — ~8-10× smaller than the shingle strings and
+length-independent), so total shuffle is O(k + distinct-shingles) longs
+per doc.  LSH banding keeps the candidate-pair count near-linear; a band
 bucket containing B docs yields B(B-1)/2 in-bucket pairs, so bucket sizes
 are capped (`max_bucket`) exactly like the reference's 1000-record block
-cap (`StringsClusterAnalyzer.java:57`).
+cap (`StringsClusterAnalyzer.java:57`) — implemented as a key-only
+groupBy count + broadcast anti-join of the rare oversize keys.
 """
 
 from __future__ import annotations
@@ -145,7 +149,8 @@ def minhash_signature_df(
     shingle_n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, sig array<long>, sh array<string>) per doc with ≥1 shingle.
+    """(id, sig array<long>, sh array<long> hashed-shingle set) per doc
+    with ≥1 shingle.
 
     Scale formulation: explode shingles → `num_hashes` native xxhash64
     columns (whole-stage codegen — NOT interpreted `transform` lambdas,
@@ -163,10 +168,16 @@ def minhash_signature_df(
         F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    hashed = ex.select("id", F.col("s"), *hash_cols)
+    # The carried shingle set is HASHED to longs (xxhash64) before the agg:
+    # Jaccard over hashed shingles equals Jaccard over the strings except
+    # for 64-bit collisions (~n²/2⁶⁵ — negligible), and the shuffle carries
+    # ~8 bytes per distinct shingle instead of the shingle text (~8× less,
+    # and independent of shingle length).  At web scale this is the
+    # difference between shuffling signatures and re-shuffling the corpus.
+    hashed = ex.select("id", F.xxhash64(F.concat(F.lit("sh:"), F.col("s"))).alias("s_h"), *hash_cols)
     agg = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set("s").alias("sh"),
+        F.collect_set("s_h").alias("sh"),
     )
     return agg.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"), "sh"
@@ -200,19 +211,24 @@ def minhash_lsh_candidates(
 def _lsh_pairs_from_sigs(
     sigs: DataFrame, num_hashes: int, num_bands: int, max_bucket: int
 ) -> DataFrame:
-    """(id, sig, sh) → candidate pairs carrying both shingle sets."""
+    """(id, sig, sh) → candidate pairs carrying both hashed-shingle sets."""
     rows_per_band = num_hashes // num_bands
     keyed = sigs.select(
         "id",
         "sh",
         F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key"),
     )
-    # bucket-size cap via window count: one shuffle, no plan re-execution
-    from pyspark.sql.window import Window
-
-    keyed = keyed.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
-    ).filter(F.col("bsz") <= max_bucket)
+    # Bucket-size cap: count keys only (groupBy on the band key — the full
+    # rows incl. shingle sets never move), then broadcast the (rare)
+    # oversize keys and anti-join them away.  The round-1 window-based cap
+    # shuffled every full row just to count bucket members.
+    oversize = (
+        keyed.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("band_key")
+    )
+    keyed = keyed.join(F.broadcast(oversize), "band_key", "left_anti")
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

@@ -239,12 +239,17 @@ def candidate_pairs(
     both sides' attributes prefixed a_/b_.  Blocks larger than `max_block`
     are dropped (the reference's block cap, `StringsClusterAnalyzer.java:57`).
     """
-    from pyspark.sql.window import Window
-
     keyed = df.withColumn("_bk", block_key)
-    keyed = keyed.withColumn(
-        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("_bk"))
-    ).filter(F.col("_bsz") <= max_block).drop("_bsz")
+    # Cap oversize blocks by counting KEYS only (groupBy + broadcast
+    # anti-join of the rare oversize keys) — the round-1 window variant
+    # shuffled full attribute rows just to count block members.
+    oversize = (
+        keyed.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_block)
+        .select("_bk")
+    )
+    keyed = keyed.join(F.broadcast(oversize), "_bk", "left_anti")
     cols = [c for c in df.columns]
     a = keyed.select(
         F.col("_bk"), *[F.col(c).alias(f"a_{c}") for c in cols]

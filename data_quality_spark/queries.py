@@ -837,40 +837,87 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL fragment: winnowing fingerprint joined to one scalar string (the
+# driver's canonicalizer hashes scalars only — arrays are projected through
+# array_to_string/array_join on BOTH sides).
+_SQL_FINGERPRINT = """
+      array_to_string(list_slice(list_sort(list_distinct(
+        list_transform(generate_series(1, greatest(length(text) - 15, 1), 8),
+                       i -> md5(substr(text, i, 16)))
+      )), 1, 8), '|')
+"""
+
+
 @_register(
     "doc_fingerprints",
-    """
-    WITH p AS (
-      SELECT doc_id, text, greatest(length(text) - 15, 1) AS maxp FROM documents
-    )
-    SELECT doc_id,
-      list_slice(list_sort(list_distinct(
-        list_transform(generate_series(1, maxp, 8), i -> md5(substr(text, i, 16)))
-      )), 1, 8) AS fingerprint
-    FROM p
+    f"""
+    SELECT doc_id, {_SQL_FINGERPRINT} AS fingerprint
+    FROM documents
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style char-shingle fingerprints (rolling-hash minima)."""
+    """Winnowing-style char-shingle fingerprints (rolling-hash minima),
+    projected to a '|'-joined scalar for the contract compare."""
     from .operators.text_analysis import char_shingle_fingerprint
 
     docs = _read_wide(spark, sf_dir, "documents")
-    return docs.select("doc_id", char_shingle_fingerprint(F.col("text")).alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        F.array_join(char_shingle_fingerprint(F.col("text")), "|").alias("fingerprint"),
+    )
 
 
+_SQL_QUALITY = f"""
+      ( least(CASE WHEN len(ws) > 0
+              THEN len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) / len(ws)
+              ELSE 0.0 END * 2.5, 1.0)
+      + CASE WHEN len(ws) > 0 THEN len(list_distinct(lws)) / len(ws) ELSE 0.0 END
+      + CASE WHEN len(ws) > 0
+             THEN len(list_filter(ws, x -> regexp_matches(x, '\\p{{L}}'))) / len(ws)
+             ELSE 0.0 END
+      + (1.0 - least(CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) / length(text)
+                     ELSE 0.0 END * 3.0, 1.0))
+      + CASE WHEN len(ws) BETWEEN 50 AND 5000 THEN 1.0
+             WHEN len(ws) > 0 THEN 0.5 ELSE 0.0 END
+      ) / 5.0
+"""
+
+
+@_register(
+    "doc_signatures",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS ws, {_SQL_LWORDS} AS lws FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens,
+      {_SQL_QUALITY} AS quality,
+      {_SQL_FINGERPRINT} AS fingerprint
+    FROM w
+    """,
+)
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full signature table incl. composite quality score (score formula is
-    oracle-covered piecewise by doc_textstats/doc_token_counts)."""
+    """Full signature table incl. composite quality score — every component
+    (token counts, integer-ratio quality score, md5 fingerprint) is exact and
+    engine-agnostic, so the whole row hash-verifies against DuckDB."""
     from .operators.text_analysis import doc_signature_table
 
     docs = _read_wide(spark, sf_dir, "documents")
-    return doc_signature_table(docs)
+    sig = doc_signature_table(docs)
+    return sig.select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        "quality",
+        F.array_join("fingerprint", "|").alias("fingerprint"),
+    )
 
 
 QUERIES["minhash_near_dups"] = minhash_near_dups
 QUERIES["simhash_near_dups"] = simhash_near_dups
 QUERIES["ann_lsh_top3"] = ann_lsh_top3
-QUERIES["doc_signatures"] = doc_signatures
 
 
 # ---------------------------------------------------------------------------
@@ -1163,11 +1210,17 @@ def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesized media table → mapInPandas feature
-    extraction (deterministic fake decode kernel; rows-only)."""
+    extraction (deterministic fake decode kernel; rows-only).  The float
+    feature vector is projected through to_json so the contract row is all
+    scalars (the driver canonicalizer cannot hash arrays)."""
     from .operators.multimodal import extract_media_features, synthesize_media
 
     media = synthesize_media(spark, 500)
-    return extract_media_features(media)
+    out = extract_media_features(media)
+    return out.select(
+        "media_id", "kind", "byte_len", "sha256", "magic",
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )
 
 
 QUERIES["media_features"] = media_features
@@ -1388,7 +1441,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = apply_quality_pipeline(pages)
     return out.select(
-        "url", "lang", "lang_detected", "ppl", "keep", "reasons", "scrubbed_text"
+        "url",
+        "lang",
+        "lang_detected",
+        "ppl",
+        "keep",
+        F.array_join("reasons", "|").alias("reasons"),
+        "scrubbed_text",
     )
 
 

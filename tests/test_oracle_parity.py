@@ -21,3 +21,17 @@ def test_rows_only_queries_run(spark):
     for name in set(QUERIES) - set(ORACLES):
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0, name
+
+
+def test_contract_outputs_are_scalar(spark):
+    """The driver canonicalizer hashes scalar cells only: no query may emit
+    array/map/struct columns (project through array_join/to_json instead).
+    Round-1 regression: 4 queries ERR'd on array outputs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, fn in QUERIES.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for field in df.schema.fields:
+            assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{field.name} is {field.dataType.simpleString()}"
+            )
