@@ -108,3 +108,50 @@ def compose_key(*parts: Column) -> Column:
     """Blocking-key chains are just expression composition
     (`genkey/BlockingKeyHandler.java:70-101`)."""
     return F.concat(*parts)
+
+
+# --- Phonetic blocking keys (AlgoBox metaphone/doublemetaphone/cologne,
+# `windowkey/AlgoBox.java:283-398`, plus the reference's SoundexFR) --------
+#
+# These run pure-Python encoders inside ONE Arrow-batched pandas UDF per key
+# column — still vectorized transfer, and blocking keys are computed once per
+# row then reused across the self-join, so the Python cost is O(corpus), not
+# O(pairs).
+
+
+def _phonetic_key(fn):
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _k(s):
+        return s.map(lambda v: None if v is None else fn(str(v)))
+
+    return _k
+
+
+def metaphone_key(c: Column) -> Column:
+    """AlgoBox.metaphone (`windowkey/AlgoBox.java:291-296`)."""
+    from .phonetics import metaphone
+
+    return _phonetic_key(metaphone)(c)
+
+
+def double_metaphone_key(c: Column) -> Column:
+    """AlgoBox.doublemetaphone (`windowkey/AlgoBox.java:283-288`)."""
+    from .phonetics import double_metaphone_primary
+
+    return _phonetic_key(double_metaphone_primary)(c)
+
+
+def cologne_phonetic_key(c: Column) -> Column:
+    """AlgoBox.colognePhonetic (`windowkey/AlgoBox.java:394-398`)."""
+    from .phonetics import cologne_phonetic
+
+    return _phonetic_key(cologne_phonetic)(c)
+
+
+def soundex_fr_key(c: Column) -> Column:
+    """SoundexFR code (`contribs/algorithm/SoundexFR.java:73-211`)."""
+    from .phonetics import soundex_fr
+
+    return _phonetic_key(soundex_fr)(c)

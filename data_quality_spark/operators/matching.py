@@ -154,25 +154,46 @@ def _lcs(s1: str, s2: str) -> float:
     return prev[n2] / max(n1, n2)
 
 
+from ..functions.phonetics import (  # noqa: E402 (matcher registry below)
+    double_metaphone_weight,
+    metaphone_weight,
+    soundex_fr_weight,
+)
+
 _PY_MATCHERS = {
     "jaro": _jaro,
     "jaro_winkler": _jaro_winkler,
     "hamming": _hamming,
     "lcs": _lcs,
+    "metaphone": metaphone_weight,
+    "double_metaphone": double_metaphone_weight,
+    "soundex_fr": soundex_fr_weight,
 }
+
+# These weight functions implement the reference's own null semantics
+# (both null → 1.0, one null → 0.0, `AbstractAttributeMatcher`) — they get
+# the raw values, not the generic null short-circuit.
+_NULL_SAFE = {"metaphone", "double_metaphone", "soundex_fr"}
 
 
 def py_matcher_weight(kind: str, a: Column, b: Column) -> Column:
     """Arrow-batched pairwise weight for the Python-side matchers."""
     fn = _PY_MATCHERS[kind]
+    null_safe = kind in _NULL_SAFE
 
     @F.pandas_udf(DoubleType())
     def _w(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         for s1, s2 in batches:
-            out = [
-                0.0 if (x is None or y is None) else fn(str(x), str(y))
-                for x, y in zip(s1, s2)
-            ]
+            if null_safe:
+                out = [
+                    fn(None if x is None else str(x), None if y is None else str(y))
+                    for x, y in zip(s1, s2)
+                ]
+            else:
+                out = [
+                    0.0 if (x is None or y is None) else fn(str(x), str(y))
+                    for x, y in zip(s1, s2)
+                ]
             yield pd.Series(out, dtype="float64")
 
     return _w(a, b)
