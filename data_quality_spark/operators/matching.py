@@ -342,3 +342,291 @@ def cluster_matches(
             break
     edges.unpersist()
     return labels
+
+
+def _levenshtein_ratio(s1: str, s2: str) -> float:
+    """1 - dist/maxLen (LevenshteinMatcher semantics, Python-side for MFB)."""
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 and n2 == 0:
+        return 1.0
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    prev = list(range(n2 + 1))
+    for i in range(1, n1 + 1):
+        cur = [i] + [0] * n2
+        c1 = s1[i - 1]
+        for j in range(1, n2 + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != s2[j - 1]))
+        prev = cur
+    return 1.0 - prev[n2] / max(n1, n2)
+
+
+def _exact_eq(s1: str, s2: str) -> float:
+    return 1.0 if s1 == s2 else 0.0
+
+
+#: matcher registry for the MFB loop (Python-side; block-local data only)
+MFB_MATCHERS = dict(
+    _PY_MATCHERS,
+    exact=_exact_eq,
+    levenshtein=_levenshtein_ratio,
+)
+
+
+# ---------------------------------------------------------------------------
+# True MFB match-merge (sequential match-or-merge with re-enqueue)
+# ---------------------------------------------------------------------------
+
+
+def _mfb_queue(records, attrs, threshold):
+    """The exact MFB loop (`matchmerge/mfb/MFB.java:113-147` +
+    `MFBRecordMatcher.java:126-156` + `MFBRecordMerger.java:49-136`) over one
+    block's records.
+
+    `records`: list of dicts with keys `id`, `ts`, and one entry per attr
+    column.  Each record state tracks, per attribute: the current merged
+    value, ALL values ever seen (match uses max pairwise score over both
+    value sets — the T-Swoosh dominance property), and value counts (for
+    MOST_COMMON).  A successful match merges into the master, removes the
+    master, and re-enqueues the merged record at the back of the queue,
+    exactly like the reference; processing order is input order.
+    """
+    from collections import deque
+
+    def mk_state(rec):
+        return {
+            "ids": {rec["id"]},
+            "ts": rec.get("ts", 0) or 0,
+            "vals": {a["col"]: rec[a["col"]] for a in attrs},
+            "seen": {a["col"]: ([rec[a["col"]]] if rec[a["col"]] is not None else [None]) for a in attrs},
+            "counts": {a["col"]: {rec[a["col"]]: 1} for a in attrs},
+        }
+
+    def attr_score(matcher_fn, left_vals, right_vals):
+        best = 0.0
+        for lv in left_vals:
+            for rv in right_vals:
+                if lv is None or rv is None:
+                    s = 1.0 if lv is None and rv is None else 0.0
+                else:
+                    s = matcher_fn(str(lv), str(rv))
+                if s > best:
+                    best = s
+        return best
+
+    def confidence(master, rec):
+        total_w = sum(a["weight"] for a in attrs)
+        conf = 0.0
+        for a in attrs:
+            fn = MFB_MATCHERS[a["matcher"]]
+            s = attr_score(fn, master["seen"][a["col"]], rec["seen"][a["col"]])
+            conf += s * a["weight"]
+        return conf / total_w if total_w else conf
+
+    def merge_value(rule, param, left, right, counts, l_ts, r_ts):
+        if left is None:
+            return right
+        if right is None:
+            return left
+        if rule == "concatenate":
+            return f"{left}{param or ''}{right}"
+        if rule in ("largest", "smallest"):
+            try:
+                ln, rn = float(left), float(right)
+            except (TypeError, ValueError):
+                return left
+            if rule == "largest":
+                return left if ln >= rn else right
+            return left if ln <= rn else right
+        if rule == "most_recent":
+            return left if l_ts >= r_ts else right
+        if rule == "most_ancient":
+            return left if l_ts <= r_ts else right
+        if rule == "prefer_true":
+            return "true" if (str(left).lower() == "true" or str(right).lower() == "true") else "false"
+        if rule == "prefer_false":
+            return "true" if (str(left).lower() == "true" and str(right).lower() == "true") else "false"
+        if rule == "most_common":
+            # highest count; tie → first-merged value (deterministic)
+            best_v, best_c = None, -1
+            for v, c in counts.items():
+                if v is not None and c > best_c:
+                    best_v, best_c = v, c
+            return best_v
+        ll, rl = len(str(left)), len(str(right))
+        if rule == "longest":
+            return left if ll >= rl else right
+        if rule == "shortest":
+            return left if ll <= rl else right
+        return left  # unknown rule: keep incoming (conservative)
+
+    def merge(rec, master):
+        # record1 = incoming rec, record2 = existing master (MFB.java:117)
+        out = {
+            "ids": rec["ids"] | master["ids"],
+            "ts": max(rec["ts"], master["ts"]),
+            "vals": {},
+            "seen": {},
+            "counts": {},
+        }
+        for a in attrs:
+            c = a["col"]
+            counts: dict = {}
+            for src in (rec, master):
+                for v, n in src["counts"][c].items():
+                    counts[v] = counts.get(v, 0) + n
+            out["counts"][c] = counts
+            seen = list(rec["seen"][c])
+            for v in master["seen"][c]:
+                if v not in seen:
+                    seen.append(v)
+            out["seen"][c] = seen
+            out["vals"][c] = merge_value(
+                a.get("merge", "most_common"), a.get("param"),
+                rec["vals"][c], master["vals"][c], counts, rec["ts"], master["ts"],
+            )
+        return out
+
+    queue = deque(mk_state(r) for r in records)
+    masters: list[dict] = []
+    while queue:
+        rec = queue.popleft()
+        merged = False
+        for mi, master in enumerate(masters):
+            if confidence(master, rec) >= threshold:
+                new_master = merge(rec, master)
+                masters.pop(mi)
+                queue.append(new_master)
+                merged = True
+                break
+        if not merged:
+            masters.append(rec)
+    return masters
+
+
+def mfb_match_merge(
+    df: DataFrame,
+    id_col: str,
+    block_key: Column,
+    attrs: list[dict],
+    threshold: float = 0.85,
+    timestamp_col: str | None = None,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Distributed MFB: fingerprint-style blocking bounds each block at
+    `max_block` rows, then the EXACT sequential match-or-merge queue runs
+    per block inside `applyInPandas` (records cannot match across blocks —
+    the same bound the reference's block-based grouping applies,
+    `grouping/TSwooshGrouping.java:47`).  Golden records out.
+
+    `attrs`: [{col, matcher, weight, merge, param?}, ...] with matcher in
+    MFB_MATCHERS and merge in {most_common, longest, shortest, largest,
+    smallest, most_recent, most_ancient, prefer_true, prefer_false,
+    concatenate}.
+
+    Output: (block, group_id=min member id, group_size, member_ids,
+    <col>_survivor ...).  Deterministic: records are processed in id order
+    within a block.
+    """
+    import pandas as _pd
+
+    cols = [a["col"] for a in attrs]
+    keyed = df.select(
+        block_key.cast("string").alias("_bk"),
+        F.col(id_col).cast("long").alias("_id"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+        (F.col(timestamp_col).cast("timestamp").cast("long") if timestamp_col else F.lit(0)).alias("_ts"),
+    )
+    oversize = (
+        keyed.groupBy("_bk").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block).select("_bk")
+    )
+    keyed = keyed.join(F.broadcast(oversize), "_bk", "left_anti")
+
+    out_fields = ", ".join(f"`{c}_survivor` string" for c in cols)
+    schema = f"block string, group_id long, group_size int, member_ids string, {out_fields}"
+
+    def run_block(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        records = [
+            {
+                "id": int(r["_id"]),
+                "ts": int(r["_ts"]) if r["_ts"] is not None else 0,
+                **{c: (None if _pd.isna(r[c]) else r[c]) for c in cols},
+            }
+            for _, r in pdf.iterrows()
+        ]
+        masters = _mfb_queue(records, attrs, threshold)
+        rows = []
+        for m in masters:
+            ids = sorted(m["ids"])
+            rows.append(
+                [
+                    pdf["_bk"].iloc[0],
+                    ids[0],
+                    len(ids),
+                    ",".join(str(i) for i in ids),
+                    *[m["vals"][c] for c in cols],
+                ]
+            )
+        return _pd.DataFrame(
+            rows, columns=["block", "group_id", "group_size", "member_ids"] + [f"{c}_survivor" for c in cols]
+        )
+
+    return keyed.groupBy("_bk").applyInPandas(run_block, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Per-block connected components (scale path for blocked match graphs)
+# ---------------------------------------------------------------------------
+
+
+def cluster_matches_blocked(
+    pairs: DataFrame, block_col: str = "_bk", id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Matched pairs WITH their blocking key → cluster ids via a per-block
+    union-find inside `applyInPandas`.
+
+    Blocking-key edges cannot cross blocks (each record has exactly one
+    key), so per-block clustering is EXACT — and unlike the global
+    label-propagation loop (`cluster_matches`), round count never depends
+    on component diameter and no driver-side iteration happens: one
+    shuffle, one pass.  Use `cluster_matches` only for match graphs whose
+    edges span multiple blocking schemes.
+
+    Output: (id, cluster_id = min id of the component).
+    """
+    import pandas as _pd
+
+    def run_block(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(x, y):
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # keep the smaller id as root → cluster_id = min id
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+
+        for a, b in zip(pdf["_ca"], pdf["_cb"]):
+            union(int(a), int(b))
+        ids = sorted(parent)
+        return _pd.DataFrame({"id": ids, "cluster_id": [find(i) for i in ids]})
+
+    edges = pairs.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_a).cast("long").alias("_ca"),
+        F.col(id_b).cast("long").alias("_cb"),
+    )
+    return edges.groupBy("_blk").applyInPandas(run_block, schema="id long, cluster_id long")

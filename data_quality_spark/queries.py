@@ -969,20 +969,55 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def record_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full match→cluster pipeline (iterative label propagation → rows-only)."""
+    """Full match→cluster pipeline.  Clustering runs per fingerprint block
+    (`cluster_matches_blocked`: one shuffle + in-block union-find — edges
+    cannot cross blocks, so this is exact and, unlike the round-1 global
+    label-propagation loop, needs no iteration over the full label set)."""
     from .functions.keyers import fingerprint_key
-    from .operators.matching import candidate_pairs, cluster_matches, levenshtein_weight
+    from .operators.matching import (
+        candidate_pairs,
+        cluster_matches_blocked,
+        levenshtein_weight,
+    )
 
     part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
     pairs = candidate_pairs(part, "p_partkey", fingerprint_key(F.col("p_name")))
     matched = pairs.select(
+        "_bk",
         F.col("a_p_partkey").alias("id_a"),
         F.col("b_p_partkey").alias("id_b"),
     ).where(levenshtein_weight(F.col("a_p_name"), F.col("b_p_name")) >= 0.8)
-    return cluster_matches(matched)
+    return cluster_matches_blocked(matched)
 
 
 QUERIES["record_clusters_parts"] = record_clusters_parts
+
+
+def mfb_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True MFB match-merge (sequential match-or-merge queue with merged-
+    record re-enqueue, `matchmerge/mfb/MFB.java:113-147`) per fingerprint
+    block: golden records with survivorship values.  Rows-only: the queue
+    semantics are inherently procedural (pinned by tests/test_mfb.py
+    mirroring SwooshRecordGroupingTest scenarios)."""
+    from .functions.keyers import fingerprint_key
+    from .operators.matching import mfb_match_merge
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    out = mfb_match_merge(
+        part,
+        "p_partkey",
+        fingerprint_key(F.col("p_name")),
+        [
+            {"col": "p_name", "matcher": "jaro_winkler", "weight": 1.0, "merge": "most_common"},
+            {"col": "p_retailprice", "matcher": "exact", "weight": 0.0, "merge": "largest"},
+        ],
+        threshold=0.9,
+    )
+    return out.select("block", "group_id", "group_size", "member_ids",
+                      "p_name_survivor", "p_retailprice_survivor")
+
+
+QUERIES["mfb_clusters_parts"] = mfb_clusters_parts
 
 
 # ---------------------------------------------------------------------------
