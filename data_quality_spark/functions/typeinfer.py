@@ -49,6 +49,92 @@ TIME_FORMATS: tuple[str, ...] = ("HH:mm:ss", "HH:mm", "h:mm a")
 
 TYPE_ORDER: tuple[str, ...] = ("EMPTY", "BOOLEAN", "INTEGER", "DOUBLE", "DATE", "TIME", "STRING")
 
+# ---------------------------------------------------------------------------
+# Date/time pattern recognition table (format → validating regex).
+#
+# The reference recognizes patterns by REGEX MATCH against resource files
+# (`statistics/datetime/SystemDateTimePatternManager.java:57-107`,
+# resources DateRegexesGrouped.txt / TimeRegexes.txt), not by parsing.
+# This table re-expresses the high-frequency locale-free subset with the
+# same day(1-31)/month(1-12) validation discipline; every regex is in the
+# Java∩RE2 common subset so the identical pattern runs in the DuckDB
+# oracle.  Order matters: first match wins (ambiguous values like
+# 04/03/95 deterministically take the earlier pattern, exactly like the
+# reference's in-group ordering).
+# ---------------------------------------------------------------------------
+
+_D = r"(?:[1-9]|[1-2][0-9]|3[0-1])"          # day 1-31, no pad
+_DD = r"(?:0[1-9]|[1-2][0-9]|3[0-1])"        # day 01-31, padded
+_M = r"(?:[1-9]|1[0-2])"                     # month 1-12, no pad
+_MM = r"(?:0[1-9]|1[0-2])"                   # month 01-12, padded
+_Y4 = r"[0-9]{4}"
+_Y2 = r"[0-9]{2}"
+_MON = r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+_MONTH = (
+    r"(?:January|February|March|April|May|June|July|August|September|"
+    r"October|November|December)"
+)
+_HMS = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
+_HM = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]"
+
+DATE_REGEXES: tuple[tuple[str, str], ...] = (
+    # ISO + datetime first (highest expected frequency in web data)
+    ("yyyy-MM-dd", rf"^{_Y4}-{_MM}-{_DD}$"),
+    ("yyyy-MM-dd HH:mm:ss", rf"^{_Y4}-{_MM}-{_DD} {_HMS}$"),
+    ("yyyy-MM-dd'T'HH:mm:ss", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}$"),
+    ("yyyy-MM-dd'T'HH:mm:ss'Z'", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}Z$"),
+    ("yyyy-MM-dd HH:mm:ss.S", rf"^{_Y4}-{_MM}-{_DD} {_HMS}\.[0-9]{{1,3}}$"),
+    # slash family
+    ("M/d/yyyy", rf"^{_M}/{_D}/{_Y4}$"),
+    ("MM/dd/yyyy", rf"^{_MM}/{_DD}/{_Y4}$"),
+    ("d/M/yyyy", rf"^{_D}/{_M}/{_Y4}$"),
+    ("dd/MM/yyyy", rf"^{_DD}/{_MM}/{_Y4}$"),
+    ("yyyy/MM/dd", rf"^{_Y4}/{_MM}/{_DD}$"),
+    ("yyyy/M/d", rf"^{_Y4}/{_M}/{_D}$"),
+    ("M/d/yyyy H:mm", rf"^{_M}/{_D}/{_Y4} (?:[0-9]|1[0-9]|2[0-3]):[0-5][0-9]$"),
+    # 2-digit-year slash family (reference Group 1)
+    ("M/d/yy", rf"^{_M}/{_D}/{_Y2}$"),
+    ("MM/dd/yy", rf"^{_MM}/{_DD}/{_Y2}$"),
+    ("dd/MM/yy", rf"^{_DD}/{_MM}/{_Y2}$"),
+    ("d/MM/yy", rf"^{_D}/{_MM}/{_Y2}$"),
+    # dash family
+    ("dd-MM-yyyy", rf"^{_DD}-{_MM}-{_Y4}$"),
+    ("M-d-yyyy", rf"^{_M}-{_D}-{_Y4}$"),
+    ("yy-MM-dd", rf"^{_Y2}-{_MM}-{_DD}$"),
+    ("MM-dd-yy", rf"^{_MM}-{_DD}-{_Y2}$"),
+    ("d-M-yy", rf"^{_D}-{_M}-{_Y2}$"),
+    # dot family (reference Groups 2/5)
+    ("dd.MM.yyyy", rf"^{_DD}\.{_MM}\.{_Y4}$"),
+    ("d.M.yyyy", rf"^{_D}\.{_M}\.{_Y4}$"),
+    ("yyyy.MM.dd", rf"^{_Y4}\.{_MM}\.{_DD}$"),
+    ("dd.MM.yy", rf"^{_DD}\.{_MM}\.{_Y2}$"),
+    ("d.M.yy", rf"^{_D}\.{_M}\.{_Y2}$"),
+    # compact
+    ("yyyyMMdd", rf"^{_Y4}{_MM}{_DD}$"),
+    # English month names (locale-free subset of reference Group 4)
+    ("d-MMM-yyyy", rf"^{_D}-{_MON}-{_Y4}$"),
+    ("dd-MMM-yy", rf"^{_DD}-{_MON}-{_Y2}$"),
+    ("MMM d, yyyy", rf"^{_MON} {_D}, {_Y4}$"),
+    ("d MMM yyyy", rf"^{_D} {_MON} {_Y4}$"),
+    ("MMMM d, yyyy", rf"^{_MONTH} {_D}, {_Y4}$"),
+    ("d MMMM yyyy", rf"^{_D} {_MONTH} {_Y4}$"),
+)
+
+TIME_REGEXES: tuple[tuple[str, str], ...] = (
+    ("HH:mm:ss", rf"^{_HMS}$"),
+    ("HH:mm", rf"^{_HM}$"),
+    ("H:mm", r"^(?:[0-9]|1[0-9]|2[0-3]):[0-5][0-9]$"),
+    ("h:mm a", r"^(?:[1-9]|1[0-2]):[0-5][0-9] (?:AM|PM)$"),
+    ("h:mm:ss a", r"^(?:[1-9]|1[0-2]):[0-5][0-9]:[0-5][0-9] (?:AM|PM)$"),
+    ("H.mm", r"^(?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
+    ("HH:mm:ss z", rf"^{_HMS} [A-Z]{{2,5}}$"),
+    ("HH:mm:ss.S", rf"^{_HMS}\.[0-9]{{1,3}}$"),
+)
+
+# one combined alternation per class → a single codegen'd rlike for is_date
+DATE_COMBINED_PATTERN = "|".join(f"(?:{rx[1:-1]})" for _f, rx in DATE_REGEXES).join(["^(?:", ")$"])
+TIME_COMBINED_PATTERN = "|".join(f"(?:{rx[1:-1]})" for _f, rx in TIME_REGEXES).join(["^(?:", ")$"])
+
 
 def is_empty(col: Column) -> Column:
     """Null or all-whitespace (TypeInferenceUtils.java:157-159)."""
@@ -68,14 +154,16 @@ def is_double(col: Column) -> Column:
 
 
 def is_date(col: Column) -> Column:
-    """rlike prefilter gate, then try the pattern list (coalesce short-circuit)."""
-    attempts = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in DATE_FORMATS]
-    return col.rlike(DATE_PREFILTER_PATTERN) & F.coalesce(*attempts).isNotNull()
+    """Regex-table recognition, the reference's semantics
+    (`SystemDateTimePatternManager.isDate`: a value is a date iff some
+    pattern regex matches — recognition is regex-based, parsing happens
+    only at conversion time).  The cheap prefilter gates the combined
+    alternation; both are single codegen'd rlikes."""
+    return col.rlike(DATE_PREFILTER_PATTERN) & col.rlike(DATE_COMBINED_PATTERN)
 
 
 def is_time(col: Column) -> Column:
-    attempts = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in TIME_FORMATS]
-    return col.rlike(r"^[0-9]{1,2}:[0-9]{2}") & F.coalesce(*attempts).isNotNull()
+    return col.rlike(r"^[0-9]{1,2}[:.][0-9]{2}") & col.rlike(TIME_COMBINED_PATTERN)
 
 
 def classify(col: Column) -> Column:

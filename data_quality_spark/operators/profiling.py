@@ -146,17 +146,21 @@ def word_pattern_frequency(df: DataFrame, column: str) -> DataFrame:
     )
 
 
-def datetime_pattern_expr(col, formats: tuple[str, ...] = ti.DATE_FORMATS):
-    """Matched date pattern per value (DateTimePatternRecognizer,
+def datetime_pattern_expr(col, patterns: tuple[tuple[str, str], ...] | None = None):
+    """Matched date/time pattern per value (DateTimePatternRecognizer,
     `statistics/frequency/recognition/DateTimePatternRecognizer.java:47-63`):
-    first format that parses wins; null when none.  The cheap rlike
-    prefilter gates the expensive parse attempts
-    (SystemDateTimePatternManager.java:94-95 device)."""
-    cascade = F.when(~col.rlike(ti.DATE_PREFILTER_PATTERN), F.lit(None).cast("string"))
-    for fmt in formats:
-        cascade = cascade.when(
-            F.try_to_timestamp(col, F.lit(fmt)).isNotNull(), F.lit(fmt)
-        )
+    REGEX-table recognition exactly like the reference's
+    SystemDateTimePatternManager (format → validating regex, first match
+    wins; null when none).  Every test is a codegen'd rlike; the cheap
+    prefilter gates the cascade (SystemDateTimePatternManager.java:94-95
+    device).  Default table = 32 date + 8 time patterns
+    (`functions/typeinfer.py` DATE_REGEXES/TIME_REGEXES)."""
+    if patterns is None:
+        patterns = ti.DATE_REGEXES + ti.TIME_REGEXES
+    gate = col.rlike(ti.DATE_PREFILTER_PATTERN) | col.rlike(r"^[0-9]{1,2}[:.][0-9]{2}")
+    cascade = F.when(~gate, F.lit(None).cast("string"))
+    for fmt, rx in patterns:
+        cascade = cascade.when(col.rlike(rx), F.lit(fmt))
     return cascade.otherwise(F.lit(None).cast("string"))
 
 

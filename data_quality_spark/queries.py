@@ -1318,35 +1318,63 @@ def json_quality_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_quality(ev, "props", "k string", expected={"_j.k": "INTEGER"})
 
 
-@_register(
-    "datetime_patterns_orders",
-    """
-    WITH d AS (
-      SELECT CASE WHEN o_orderkey % 2 = 0
-        THEN strftime(o_orderdate, '%Y-%m-%d')
-        ELSE strftime(o_orderdate, '%-m/%-d/%Y') END AS ds
-      FROM orders
+def _datetime_oracle_sql() -> str:
+    """Oracle = the SAME ordered (format → regex) recognition cascade as the
+    engine (`functions/typeinfer.py` DATE_REGEXES/TIME_REGEXES), run by
+    DuckDB's RE2 over an identically-constructed 6-format mixed column —
+    cross-engine regex-semantics equivalence is the thing being verified."""
+    from .functions import typeinfer as _ti
+
+    arms = " ".join(
+        "WHEN regexp_matches(ds, '{}') THEN '{}'".format(
+            rx.replace("'", "''"), fmt.replace("'", "''")
+        )
+        for fmt, rx in _ti.DATE_REGEXES + _ti.TIME_REGEXES
     )
-    SELECT
-      CASE WHEN regexp_matches(ds, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
-           THEN 'yyyy-MM-dd' ELSE 'M/d/yyyy' END AS pattern,
-      CAST(count(*) AS BIGINT) AS cnt
+    return f"""
+    WITH d AS (
+      SELECT CASE CAST(o_orderkey % 6 AS INTEGER)
+        WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        WHEN 1 THEN strftime(o_orderdate, '%-m/%-d/%Y')
+        WHEN 2 THEN strftime(o_orderdate, '%d.%m.%Y')
+        WHEN 3 THEN strftime(o_orderdate, '%-d-%b-%Y')
+        WHEN 4 THEN strftime(o_orderdate, '%d/%m/%y')
+        ELSE printf('%02d:%02d:%02d',
+                    CAST(o_orderkey % 24 AS INTEGER),
+                    CAST((o_orderkey * 7) % 60 AS INTEGER),
+                    CAST((o_orderkey * 13) % 60 AS INTEGER))
+      END AS ds FROM orders
+    )
+    SELECT CASE {arms} END AS pattern, CAST(count(*) AS BIGINT) AS cnt
     FROM d GROUP BY 1
-    """,
-)
+    """
+
+
+@_register("datetime_patterns_orders", _datetime_oracle_sql())
 def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-date-pattern profiling (DateTimePatternRecognizer) over a
-    mixed-format string column; the oracle states the ground truth of the
-    construction, so recognition is checked end-to-end."""
+    """Frequent-date/time-pattern profiling (DateTimePatternRecognizer +
+    SystemDateTimePatternManager regex table) over a 6-format mixed column:
+    ISO, unpadded/padded slash, dot, English-month-abbrev, 2-digit-year,
+    and HH:mm:ss time values.  Ambiguous values (e.g. 04/03/95) resolve by
+    cascade order identically in both engines."""
     from .operators.profiling import datetime_pattern_frequency
 
     o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
     mixed = o.select(
-        F.when(
-            F.col("o_orderkey") % 2 == 0,
-            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.when(k % 6 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 6 == 1, F.date_format("o_orderdate", "M/d/yyyy"))
+        .when(k % 6 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .when(k % 6 == 3, F.date_format("o_orderdate", "d-MMM-yyyy"))
+        .when(k % 6 == 4, F.date_format("o_orderdate", "dd/MM/yy"))
+        .otherwise(
+            F.format_string(
+                "%02d:%02d:%02d",
+                (k % 24).cast("int"),
+                ((k * 7) % 60).cast("int"),
+                ((k * 13) % 60).cast("int"),
+            )
         )
-        .otherwise(F.date_format("o_orderdate", "M/d/yyyy"))
         .alias("ds")
     )
     return datetime_pattern_frequency(mixed, "ds").select(

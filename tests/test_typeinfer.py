@@ -76,3 +76,57 @@ def test_value_quality_counting(spark):
         F.sum(F.when(~ti.is_empty(c) & ~ti.is_valid_as(c, "INTEGER"), 1).otherwise(0)).alias("invalid"),
     ).collect()[0]
     assert (got["valid"], got["invalid"], got["empty"]) == (2, 1, 2)
+
+
+def test_datetime_regex_table_breadth(spark):
+    """Round-2 widening: 2-digit years, month names, dots, times all
+    recognize; garbage does not (regex-table semantics like the
+    reference's SystemDateTimePatternManager — structural validation,
+    day/month ranges enforced, calendar validity not)."""
+    from data_quality_spark.operators.profiling import datetime_pattern_expr
+    from pyspark.sql import functions as F
+
+    cases = {
+        "2021-03-04": "yyyy-MM-dd",
+        "2021-03-04 12:30:05": "yyyy-MM-dd HH:mm:ss",
+        "2021-03-04T12:30:05": "yyyy-MM-dd'T'HH:mm:ss",
+        "3/4/2021": "M/d/2021".replace("2021", "yyyy"),
+        "04.03.2021": "dd.MM.yyyy",
+        "4-Mar-2021": "d-MMM-yyyy",
+        "Mar 4, 2021": "MMM d, yyyy",
+        "4 March 2021": "d MMMM yyyy",
+        "13/03/95": "dd/MM/yy",
+        "20210304": "yyyyMMdd",
+        "12:30:05": "HH:mm:ss",
+        "9:05 PM": "h:mm a",
+        "23.59": "H.mm",
+        "not a date": None,
+        "32/03/95": None,       # day out of range
+        "2021-13-04": None,     # month out of range
+    }
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    got = {
+        r["v"]: r["p"]
+        for r in df.select("v", datetime_pattern_expr(F.col("v")).alias("p")).collect()
+    }
+    for v, expected in cases.items():
+        assert got[v] == expected, (v, got[v], expected)
+
+
+def test_is_date_is_time_combined(spark):
+    from data_quality_spark.functions import typeinfer as ti
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2021-03-04",), ("4-Mar-2021",), ("12:30:05",), ("hello",), ("123",)],
+        "v string",
+    )
+    rows = df.select(
+        "v", ti.is_date(F.col("v")).alias("d"), ti.is_time(F.col("v")).alias("t")
+    ).collect()
+    got = {r["v"]: (r["d"], r["t"]) for r in rows}
+    assert got["2021-03-04"] == (True, False)
+    assert got["4-Mar-2021"] == (True, False)
+    assert got["12:30:05"] == (False, True)
+    assert got["hello"] == (False, False)
+    assert got["123"] == (False, False)
