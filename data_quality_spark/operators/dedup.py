@@ -315,13 +315,27 @@ def simhash64(text_col: Column) -> Column:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, num_bands: int = 4, max_hamming: int = 6
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bands: int | None = None,
+    max_hamming: int = 6,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into `num_bands` 16-bit
-    keys (pigeonhole: hamming ≤ num_bands-1 guarantees a shared band; wider
-    radii still mostly collide), then verify Hamming distance ≤ max_hamming
-    via bit_count(xor) — a native expression.
-    Output: (id_a, id_b, hamming)."""
+    """Near-dup pairs by SimHash banding + native bit_count(xor) verify.
+    Output: (id_a, id_b, hamming).
+
+    Recall contract (pigeonhole): two fingerprints at Hamming distance d
+    share a band whenever d ≤ num_bands - 1, so recall is EXACTLY 1.0 for
+    max_hamming ≤ num_bands - 1.  By default the banding auto-widens to
+    the smallest power-of-two band count ≥ max_hamming + 1, capped at 8
+    (8 × 8-bit bands): radii ≤ 7 are exhaustive; wider radii are
+    explicitly best-effort (a d>7 pair collides in a band only
+    probabilistically) — callers wanting exhaustive d>7 must do an exact
+    join.  Measured in tests/test_dedup_ann.py::test_simhash_recall."""
+    if num_bands is None:
+        num_bands = 1
+        while num_bands < max_hamming + 1 and num_bands < 8:
+            num_bands *= 2
     h = simhash64(F.col(text_col))
     width = 64 // num_bands
     hashed = df.select(F.col(id_col).alias("id"), h.alias("sh")).cache()

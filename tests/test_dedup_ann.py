@@ -138,3 +138,46 @@ def test_candidate_pairs_cap_no_window(spark):
     assert pairs.count() == 0
     pairs2 = matching.candidate_pairs(df, "id", F.col("name"), max_block=100)
     assert pairs2.count() == 3 * (10 * 9 // 2)
+
+
+def test_simhash_recall_exhaustive_within_band_guarantee(spark):
+    """Pigeonhole guarantee: with auto-widened banding, ALL pairs at
+    hamming <= max_hamming are found (recall 1.0 vs the exact O(n^2)
+    join) for max_hamming <= 7."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = docs.select(F.col("doc_id").alias("id"), dedup.simhash64(F.col("text")).alias("h")).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("d"),
+        )
+        .filter(F.col("d") <= 7)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(docs, "text", "doc_id", max_hamming=7).collect()
+    }
+    sh.unpersist()
+    assert exact, "fixture must contain at least one close pair"
+    assert got == exact  # recall 1.0 AND no pair beyond the radius
+
+
+def test_qgram_short_string_guard(spark):
+    from data_quality_spark.operators.matching import qgram_weight
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "a"), ("", ""), ("a", "ab"), ("ab", "ab")],
+        "x string, y string",
+    )
+    rows = df.select("x", "y", qgram_weight(F.col("x"), F.col("y")).alias("w")).collect()
+    got = {(r["x"], r["y"]): r["w"] for r in rows}
+    assert got[("a", "b")] == 0.0   # round-1 bug: was 1.0
+    assert got[("a", "a")] == 1.0
+    assert got[("", "")] == 1.0
+    assert got[("a", "ab")] == 0.0  # documented divergence (ref: padded overlap)
+    assert got[("ab", "ab")] == 1.0
