@@ -641,3 +641,129 @@ def cluster_matches_blocked(
         F.col(id_b).cast("long").alias("_cb"),
     )
     return edges.groupBy("_blk").applyInPandas(run_block, schema="id long, cluster_id long")
+
+
+# ---------------------------------------------------------------------------
+# Tokenized matching modes (ANYORDER / SAMEPLACE / SAMEORDER) — exact
+# ---------------------------------------------------------------------------
+
+
+def _hungarian_min(cost: list[list[float]]) -> list[int]:
+    """Minimum-cost perfect assignment on a square matrix (Kuhn-Munkres
+    with potentials, O(n³) — the public algorithm behind the reference's
+    `attribute/HungarianAlgorithm.java`).  Returns match[row] = col."""
+    n = len(cost)
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (n + 1)
+    p = [0] * (n + 1)
+    way = [0] * (n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (n + 1)
+        used = [False] * (n + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    match = [0] * n
+    for j in range(1, n + 1):
+        if p[j]:
+            match[p[j] - 1] = j - 1
+    return match
+
+
+def _tokens(s: str) -> list[str]:
+    # Java String.split(" ") keeps interior empties, drops trailing ones
+    toks = s.split(" ")
+    while toks and toks[-1] == "":
+        toks.pop()
+    return toks if toks else [s]
+
+
+def _anyorder(s1: str, s2: str, base) -> float:
+    """computeWeightTokenHungarian (`AbstractAttributeMatcher.java:148-192`):
+    pad the (1 - sim) matrix square with zeros, take the min-cost
+    assignment, sum similarities of real-token pairs, divide by max(n,m)."""
+    t1, t2 = _tokens(s1), _tokens(s2)
+    n, m = len(t1), len(t2)
+    dim = max(n, m)
+    cost = [[0.0] * dim for _ in range(dim)]
+    for i in range(n):
+        for j in range(m):
+            cost[i][j] = 1.0 - base(t1[i], t2[j])
+    match = _hungarian_min(cost)
+    w = sum(1.0 - cost[i][match[i]] for i in range(n) if match[i] < m)
+    return w / dim
+
+
+def _sameplace(s1: str, s2: str, base) -> float:
+    """computeWeightTokenSamePlace: position-wise over the shorter list,
+    normalized by the longer (`AbstractAttributeMatcher.java:210-247`)."""
+    t1, t2 = _tokens(s1), _tokens(s2)
+    w = sum(base(a, b) for a, b in zip(t1, t2))
+    return w / max(len(t1), len(t2))
+
+
+def _sameorder(s1: str, s2: str, base) -> float:
+    """computeWeightTokenSameOrder: best order-preserving alignment of the
+    shorter token list into the longer (`AbstractAttributeMatcher.java:
+    250-289` enumerates combinations; the O(n·m) DP below computes the
+    same maximum)."""
+    t1, t2 = _tokens(s1), _tokens(s2)
+    short, long_ = (t1, t2) if len(t1) <= len(t2) else (t2, t1)
+    k, n = len(short), len(long_)
+    prev = [0.0] * (n + 1)
+    for i in range(1, k + 1):
+        cur = [0.0] * (n + 1)
+        cur[: i] = [float("-inf")] * i  # need at least i long-tokens
+        for j in range(i, n + 1):
+            cur[j] = max(cur[j - 1], prev[j - 1] + base(short[i - 1], long_[j - 1]))
+        prev = cur
+    return prev[n] / n
+
+
+_TOKEN_MODES = {"anyorder": _anyorder, "sameplace": _sameplace, "sameorder": _sameorder}
+
+
+def tokenized_weight(kind: str, mode: str, a: Column, b: Column) -> Column:
+    """Exact tokenized matching weight (ANYORDER = true Hungarian
+    assignment — supersedes the round-1 sorted-token approximation in
+    `anyorder_weight`, which remains as the cheap native-expression path).
+    `kind` picks the base matcher from MFB_MATCHERS; Arrow-batched."""
+    base = MFB_MATCHERS[kind]
+    mode_fn = _TOKEN_MODES[mode]
+
+    @F.pandas_udf(DoubleType())
+    def _w(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = [
+            0.0 if (x is None or y is None) else mode_fn(str(x), str(y), base)
+            for x, y in zip(s1, s2)
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return _w(a, b)

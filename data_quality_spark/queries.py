@@ -1075,6 +1075,48 @@ def mfb_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["mfb_clusters_parts"] = mfb_clusters_parts
 
 
+@_register(
+    "tokenized_weight_parts",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+        list_filter(regexp_split_to_array(p_name, ' '), x -> x <> '') AS toks
+      FROM part WHERE p_partkey <= 300
+    ), r AS (
+      SELECT p_partkey, toks, list_reverse(toks) AS rtoks FROM t
+    )
+    SELECT p_partkey,
+      1.0 AS anyorder_w,
+      list_sum(list_transform(generate_series(1, least(len(toks), len(rtoks))),
+        i -> CASE WHEN greatest(length(toks[i]), length(rtoks[i])) = 0 THEN 1.0
+             ELSE 1.0 - levenshtein(toks[i], rtoks[i])
+                        / greatest(length(toks[i]), length(rtoks[i])) END))
+      / greatest(len(toks), len(rtoks)) AS sameplace_w
+    FROM r
+    """,
+)
+def tokenized_weight_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tokenized matching modes against token-reversed twins:
+    ANYORDER (true Hungarian assignment, `AbstractAttributeMatcher.java:
+    148-192`) must recover the perfect matching — the oracle states 1.0 —
+    while SAMEPLACE's positional levenshtein sum is recomputed exactly in
+    DuckDB (sequential-fold doubles are bit-identical across engines)."""
+    from .operators.matching import tokenized_weight
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    toks = F.filter(F.split(F.col("p_name"), " "), lambda x: x != F.lit(""))
+    rev = part.select(
+        "p_partkey",
+        F.array_join(toks, " ").alias("fwd"),
+        F.array_join(F.reverse(toks), " ").alias("bwd"),
+    )
+    return rev.select(
+        "p_partkey",
+        tokenized_weight("levenshtein", "anyorder", F.col("fwd"), F.col("bwd")).alias("anyorder_w"),
+        tokenized_weight("levenshtein", "sameplace", F.col("fwd"), F.col("bwd")).alias("sameplace_w"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Survivorship extras (operators/survivorship.py)
 # ---------------------------------------------------------------------------

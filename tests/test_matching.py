@@ -91,3 +91,42 @@ def test_cluster_chain_components(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in M.cluster_matches(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_tokenized_modes_exact_vectors():
+    from data_quality_spark.operators.matching import (
+        _anyorder,
+        _exact_eq,
+        _levenshtein_ratio,
+        _sameorder,
+        _sameplace,
+    )
+
+    # ANYORDER: Hungarian recovers the perfect permutation matching
+    assert _anyorder("john smith", "smith john", _exact_eq) == 1.0
+    assert abs(_anyorder("john smith extra", "smith john", _exact_eq) - 2 / 3) < 1e-12
+    # partial-token match the sorted-token approximation gets wrong:
+    # jon<->john 0.75 + smith<->smith 1.0, / 2
+    assert abs(_anyorder("jon smith", "smith john", _levenshtein_ratio) - 0.875) < 1e-12
+    # SAMEPLACE: positional, normalized by the longer list
+    assert _sameplace("a b", "a c", _exact_eq) == 0.5
+    assert _sameplace("a b c", "a b", _exact_eq) == 2 / 3
+    # SAMEORDER: best order-preserving embedding of the shorter list
+    assert _sameorder("a c", "a b c", _exact_eq) == 2 / 3
+    assert _sameorder("c a", "a b c", _exact_eq) == 1 / 3  # order must be kept
+
+
+def test_tokenized_weight_spark(spark):
+    from data_quality_spark.operators.matching import tokenized_weight
+
+    df = spark.createDataFrame(
+        [("john smith", "smith john"), ("aa bb", "aa bb"), (None, "x")],
+        "a string, b string",
+    )
+    rows = df.select(
+        tokenized_weight("exact", "anyorder", F.col("a"), F.col("b")).alias("any"),
+        tokenized_weight("exact", "sameplace", F.col("a"), F.col("b")).alias("same"),
+    ).collect()
+    assert rows[0]["any"] == 1.0 and rows[0]["same"] == 0.0
+    assert rows[1]["any"] == 1.0 and rows[1]["same"] == 1.0
+    assert rows[2]["any"] == 0.0
