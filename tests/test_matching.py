@@ -113,7 +113,8 @@ def test_tokenized_modes_exact_vectors():
     assert _sameplace("a b c", "a b", _exact_eq) == 2 / 3
     # SAMEORDER: best order-preserving embedding of the shorter list
     assert _sameorder("a c", "a b c", _exact_eq) == 2 / 3
-    assert _sameorder("c a", "a b c", _exact_eq) == 1 / 3  # order must be kept
+    # order must be kept: "c" before "a" has no monotone embedding into "a b c"
+    assert _sameorder("c a", "a b c", _exact_eq) == 0.0
 
 
 def test_tokenized_weight_spark(spark):
