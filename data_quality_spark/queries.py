@@ -1497,6 +1497,47 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["media_features"] = media_features
 
 
+def avro_nested_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Avro container path (rows-only): deterministic OCF fixture
+    → distributed binaryFile+mapInPandas decode → typed DataFrame →
+    per-leaf validity counts (`AvroUtils.streamAvroFile` →
+    AvroQualityAnalyzer analog; `sources/avro.py`)."""
+    import tempfile
+
+    from .functions import typeinfer as ti
+    from .sources import avro as av
+
+    schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+            {"name": "meta", "type": {"type": "record", "name": "M",
+                                       "fields": [{"name": "k", "type": "string"}]}},
+        ],
+    }
+    recs = [
+        {"id": i, "v": None if i % 7 == 0 else str(i * 3), "meta": {"k": "x" * (i % 4)}}
+        for i in range(500)
+    ]
+    d = tempfile.mkdtemp(prefix="dqs_avro_")
+    av.write_container(f"{d}/a.avro", schema, recs[:250], codec="null")
+    av.write_container(f"{d}/b.avro", schema, recs[250:], codec="deflate")
+    typed = av.read_avro_typed(spark, d)
+    v = F.col("v")
+    return typed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(ti.is_empty(v), 1).otherwise(0)).cast("long").alias("v_empty"),
+        F.sum(F.when(~ti.is_empty(v) & ti.is_valid_as(v, "INTEGER"), 1).otherwise(0))
+        .cast("long").alias("v_valid_int"),
+        F.sum(F.when(F.length("meta.k") == 0, 1).otherwise(0)).cast("long").alias("k_empty"),
+    )
+
+
+QUERIES["avro_nested_quality"] = avro_nested_quality
+
+
 _NATION_SYNONYMS = {
     "United States": ["united states", "usa", "us"],
     "Germany": ["germany", "de", "deutschland"],

@@ -1,0 +1,338 @@
+"""Avro Object Container File source — self-contained, Spark-first.
+
+The sandbox has no spark-avro datasource package, so this module implements
+the (public, simple) Avro 1.x OCF spec directly: a pure-Python block
+decoder that runs DISTRIBUTED over `spark.read.format("binaryFile")` +
+`mapInPandas` — one Arrow batch of file blobs streams through Python per
+task, each record surfacing as a JSON string that feeds the existing
+nested/JSON quality path (`operators/nested.py`).  This is the analog of
+the reference's `AvroUtils.streamAvroFile` → per-leaf analyzers
+(`common/util/AvroUtils.java:194`, `common/inference/AvroQualityAnalyzer.
+java:100-122`).
+
+Supported: null + deflate codecs; records (arbitrarily nested), unions,
+arrays, enums, all primitives.  Not supported (documented): maps, fixed,
+custom codecs (snappy/zstd), and splitting a single giant file — the
+parallelism unit is the FILE, which is the natural unit for web-corpus
+Avro dumps (many ~100 MB-1 GB container files); a lone multi-TB file
+would need block-level splitting at the sync markers.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# Binary primitives (Avro spec: zigzag varints, length-prefixed bytes)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    z = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            break
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return _zigzag_decode(acc), pos
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+# ---------------------------------------------------------------------------
+# Datum encoding/decoding against a (parsed-JSON) Avro schema
+# ---------------------------------------------------------------------------
+
+
+def _decode_datum(schema, buf: bytes, pos: int):
+    if isinstance(schema, list):  # union: long index then value
+        idx, pos = _read_long(buf, pos)
+        return _decode_datum(schema[idx], buf, pos)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            out = {}
+            for field in schema["fields"]:
+                out[field["name"]], pos = _decode_datum(field["type"], buf, pos)
+            return out, pos
+        if t == "array":
+            items = []
+            while True:
+                count, pos = _read_long(buf, pos)
+                if count == 0:
+                    break
+                if count < 0:  # negative count: byte size follows (skippable blocks)
+                    _size, pos = _read_long(buf, pos)
+                    count = -count
+                for _ in range(count):
+                    v, pos = _decode_datum(schema["items"], buf, pos)
+                    items.append(v)
+            return items, pos
+        if t == "enum":
+            idx, pos = _read_long(buf, pos)
+            return schema["symbols"][idx], pos
+        return _decode_datum(t, buf, pos)  # e.g. {"type": "string"}
+    # primitive name
+    if schema == "null":
+        return None, pos
+    if schema == "boolean":
+        return buf[pos] == 1, pos + 1
+    if schema in ("int", "long"):
+        return _read_long(buf, pos)
+    if schema == "float":
+        return struct.unpack("<f", buf[pos : pos + 4])[0], pos + 4
+    if schema == "double":
+        return struct.unpack("<d", buf[pos : pos + 8])[0], pos + 8
+    if schema == "bytes":
+        b, pos = _read_bytes(buf, pos)
+        return b.hex(), pos  # hex str: JSON-safe
+    if schema == "string":
+        b, pos = _read_bytes(buf, pos)
+        return b.decode("utf-8"), pos
+    raise ValueError(f"unsupported Avro type: {schema!r}")
+
+
+def _encode_datum(schema, value, out: io.BytesIO) -> None:
+    if isinstance(schema, list):
+        # pick first matching branch (null vs not-null is the common case)
+        for idx, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bt == "null":
+                _write_long(out, idx)
+                return
+            if value is not None and bt != "null":
+                _write_long(out, idx)
+                _encode_datum(branch, value, out)
+                return
+        raise ValueError(f"no union branch for {value!r} in {schema!r}")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for field in schema["fields"]:
+                _encode_datum(field["type"], value[field["name"]], out)
+            return
+        if t == "array":
+            if value:
+                _write_long(out, len(value))
+                for v in value:
+                    _encode_datum(schema["items"], v, out)
+            _write_long(out, 0)
+            return
+        if t == "enum":
+            _write_long(out, schema["symbols"].index(value))
+            return
+        _encode_datum(t, value, out)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+        return
+    if schema in ("int", "long"):
+        _write_long(out, int(value))
+        return
+    if schema == "float":
+        out.write(struct.pack("<f", value))
+        return
+    if schema == "double":
+        out.write(struct.pack("<d", value))
+        return
+    if schema == "bytes":
+        _write_bytes(out, bytes.fromhex(value) if isinstance(value, str) else value)
+        return
+    if schema == "string":
+        _write_bytes(out, value.encode("utf-8"))
+        return
+    raise ValueError(f"unsupported Avro type: {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# Container file (OCF) read/write
+# ---------------------------------------------------------------------------
+
+
+def decode_container(payload: bytes) -> tuple[dict, list]:
+    """Full OCF decode: (schema, records).  Pure function of the bytes —
+    safe inside executors."""
+    if payload[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        count, pos = _read_long(payload, pos)
+        if count == 0:
+            break
+        if count < 0:
+            _size, pos = _read_long(payload, pos)
+            count = -count
+        for _ in range(count):
+            k, pos = _read_bytes(payload, pos)
+            v, pos = _read_bytes(payload, pos)
+            meta[k.decode("utf-8")] = v
+    sync = payload[pos : pos + 16]
+    pos += 16
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    records = []
+    while pos < len(payload):
+        n_recs, pos = _read_long(payload, pos)
+        n_bytes, pos = _read_long(payload, pos)
+        block = payload[pos : pos + n_bytes]
+        pos += n_bytes
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec: {codec}")
+        bpos = 0
+        for _ in range(n_recs):
+            rec, bpos = _decode_datum(schema, block, bpos)
+            records.append(rec)
+    return schema, records
+
+
+def write_container(
+    path: str, schema: dict, records: list, codec: str = "null", sync: bytes = b"0123456789abcdef"
+) -> None:
+    """Minimal OCF writer (fixtures/tests; single block)."""
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(sync)
+    body = io.BytesIO()
+    for rec in records:
+        _encode_datum(schema, rec, body)
+    block = body.getvalue()
+    if codec == "deflate":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        block = co.compress(block) + co.flush()
+    _write_long(out, len(records))
+    _write_long(out, len(block))
+    out.write(block)
+    out.write(sync)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed OCF ingestion: binaryFile scan → per-file Python decode
+    in mapInPandas → (path, json) rows.  Parallelism = files; payload
+    bytes never shuffle (decode happens in the scan task, only the JSON
+    projection flows on)."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                _schema, records = decode_container(bytes(content))
+                yield pd.DataFrame(
+                    {"path": p, "json": [json.dumps(r, ensure_ascii=False) for r in records]}
+                )
+
+    return files.mapInPandas(gen, schema="path string, json string")
+
+
+def avro_schema_to_ddl(schema: dict) -> str:
+    """Avro record schema → Spark DDL (for from_json on the `json` col)."""
+
+    def typ(s) -> str:
+        if isinstance(s, list):
+            non_null = [b for b in s if b != "null"]
+            return typ(non_null[0]) if non_null else "string"
+        if isinstance(s, dict):
+            t = s["type"]
+            if t == "record":
+                inner = ", ".join(f"`{f['name']}`: {typ(f['type'])}" for f in s["fields"])
+                return f"struct<{inner}>"
+            if t == "array":
+                return f"array<{typ(s['items'])}>"
+            if t == "enum":
+                return "string"
+            return typ(t)
+        return {
+            "null": "string", "boolean": "boolean", "int": "int", "long": "bigint",
+            "float": "float", "double": "double", "bytes": "string", "string": "string",
+        }[s]
+
+    inner = ", ".join(f"`{f['name']}` {typ(f['type'])}" for f in schema["fields"])
+    return inner
+
+
+def read_schema(payload: bytes) -> dict:
+    """Header-only schema parse (no block decoding) — cheap on the driver."""
+    if payload[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    while True:
+        count, pos = _read_long(payload, pos)
+        if count == 0:
+            break
+        if count < 0:
+            _size, pos = _read_long(payload, pos)
+            count = -count
+        for _ in range(count):
+            k, pos = _read_bytes(payload, pos)
+            v, pos = _read_bytes(payload, pos)
+            if k == b"avro.schema":
+                return json.loads(v.decode("utf-8"))
+    raise ValueError("no avro.schema in container metadata")
+
+
+def read_avro_typed(spark: SparkSession, path: str) -> DataFrame:
+    """OCF → fully-typed DataFrame: decode to JSON, then from_json with the
+    DDL derived from the file's own writer schema (schema comes from ONE
+    file's header on the driver — header-only parse, no block decode)."""
+    first = spark.read.format("binaryFile").load(path).select("content").limit(1).collect()
+    if not first:
+        raise FileNotFoundError(path)
+    ddl = avro_schema_to_ddl(read_schema(bytes(first[0]["content"])))
+    raw = read_avro(spark, path)
+    return raw.select(F.from_json("json", ddl).alias("r")).select("r.*")
