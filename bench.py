@@ -51,6 +51,15 @@ HEADLINE = [
     "salted_event_counts",
     "top_order_per_status",
     "profile_customer_table",
+    # round 2 additions
+    "phonetic_codes_names",
+    "phonetic_linkage_names",
+    "mfb_clusters_parts",
+    "tokenized_weight_parts",
+    "cardinality_hll",
+    "quantiles_approx_lquantity",
+    "avro_nested_quality",
+    "doc_signatures",
 ]
 
 

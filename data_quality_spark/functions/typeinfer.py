@@ -135,6 +135,36 @@ TIME_REGEXES: tuple[tuple[str, str], ...] = (
 DATE_COMBINED_PATTERN = "|".join(f"(?:{rx[1:-1]})" for _f, rx in DATE_REGEXES).join(["^(?:", ")$"])
 TIME_COMBINED_PATTERN = "|".join(f"(?:{rx[1:-1]})" for _f, rx in TIME_REGEXES).join(["^(?:", ")$"])
 
+# Structural dispatch groups (the reference's DateRegexesGrouped.txt device:
+# patterns grouped by separator/width family behind a cheap gate regex, so a
+# value tests ONE family instead of the whole table).  Gates are pairwise
+# exclusive by construction (leading digit-run width + following separator),
+# which makes the nested dispatch exactly equivalent to the flat
+# first-match cascade the DuckDB oracle runs.
+_ALL = dict(DATE_REGEXES + TIME_REGEXES)
+
+
+def _grp(gate: str, *fmts: str) -> tuple[str, tuple[tuple[str, str], ...]]:
+    return gate, tuple((f, _ALL[f]) for f in fmts)
+
+
+DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
+    _grp(r"^[0-9]{4}-", "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+         "yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd HH:mm:ss.S"),
+    _grp(r"^[0-9]{4}/", "yyyy/MM/dd", "yyyy/M/d"),
+    _grp(r"^[0-9]{1,2}/", "M/d/yyyy", "MM/dd/yyyy", "d/M/yyyy", "dd/MM/yyyy",
+         "M/d/yyyy H:mm", "M/d/yy", "MM/dd/yy", "dd/MM/yy", "d/MM/yy"),
+    _grp(r"^[0-9]{1,2}-[0-9]", "dd-MM-yyyy", "M-d-yyyy", "yy-MM-dd", "MM-dd-yy", "d-M-yy"),
+    _grp(r"^[0-9]{1,2}-[A-Za-z]", "d-MMM-yyyy", "dd-MMM-yy"),
+    _grp(r"^[0-9]{4}\.", "yyyy.MM.dd"),
+    _grp(r"^[0-9]{1,2}\.", "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy", "H.mm"),
+    _grp(r"^[0-9]{8}$", "yyyyMMdd"),
+    _grp(r"^[A-Za-z]", "MMM d, yyyy", "MMMM d, yyyy"),
+    _grp(r"^[0-9]{1,2} [A-Za-z]", "d MMM yyyy", "d MMMM yyyy"),
+    _grp(r"^[0-9]{1,2}:", "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
+         "HH:mm:ss z", "HH:mm:ss.S"),
+)
+
 
 def is_empty(col: Column) -> Column:
     """Null or all-whitespace (TypeInferenceUtils.java:157-159)."""

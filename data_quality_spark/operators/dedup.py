@@ -213,13 +213,17 @@ def _lsh_pairs_from_sigs(
 ) -> DataFrame:
     """(id, sig, sh) → candidate pairs carrying both hashed-shingle sets."""
     rows_per_band = num_hashes // num_bands
+    # Repartition on the band key: ONE exchange, materialized once and
+    # reused (ReusedExchange) by both the bucket-size count and the pair
+    # join below — the expensive signature aggregation upstream runs
+    # exactly once.
     keyed = sigs.select(
         "id",
         "sh",
         F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key"),
-    )
-    # Bucket-size cap: count keys only (groupBy on the band key — the full
-    # rows incl. shingle sets never move), then broadcast the (rare)
+    ).repartition(F.col("band_key"))
+    # Bucket-size cap: count keys on the shared exchange (no extra shuffle
+    # — already partitioned by band_key), then broadcast the (rare)
     # oversize keys and anti-join them away.  The round-1 window-based cap
     # shuffled every full row just to count bucket members.
     oversize = (

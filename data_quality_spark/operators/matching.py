@@ -271,10 +271,15 @@ def candidate_pairs(
     both sides' attributes prefixed a_/b_.  Blocks larger than `max_block`
     are dropped (the reference's block cap, `StringsClusterAnalyzer.java:57`).
     """
-    keyed = df.withColumn("_bk", block_key)
-    # Cap oversize blocks by counting KEYS only (groupBy + broadcast
-    # anti-join of the rare oversize keys) — the round-1 window variant
-    # shuffled full attribute rows just to count block members.
+    # Repartition on the block key FIRST: the exchange materializes once and
+    # is reused (ReusedExchange) by both consumers below — the block-size
+    # count and the pair join — so the input is scanned/keyed exactly once
+    # and the only data that ever moves is one hash shuffle on the key.
+    keyed = df.withColumn("_bk", block_key).repartition(F.col("_bk"))
+    # Cap oversize blocks by counting keys on the shared exchange (no new
+    # shuffle — already partitioned by _bk) + broadcast anti-join of the
+    # rare oversize keys.  The round-1 window variant shuffled full
+    # attribute rows just to count block members.
     oversize = (
         keyed.groupBy("_bk")
         .agg(F.count(F.lit(1)).alias("_bsz"))
