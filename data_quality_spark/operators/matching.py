@@ -612,33 +612,33 @@ def cluster_matches_blocked(
 
     Output: (id, cluster_id = min id of the component).
     """
+    import numpy as _np
     import pandas as _pd
 
     def run_block(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        def union(x, y):
-            parent.setdefault(x, x)
-            parent.setdefault(y, y)
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                # keep the smaller id as root → cluster_id = min id
-                if ry < rx:
-                    rx, ry = ry, rx
-                parent[ry] = rx
-
-        for a, b in zip(pdf["_ca"], pdf["_cb"]):
-            union(int(a), int(b))
-        ids = sorted(parent)
-        return _pd.DataFrame({"id": ids, "cluster_id": [find(i) for i in ids]})
+        # Vectorized connected components (min-label hooking + pointer
+        # jumping, all numpy C loops): blocks are near-cliques, so this
+        # converges in 2-3 rounds of O(E) work — a Python-level union-find
+        # was the bottleneck at millions of in-block edges.
+        ca = pdf["_ca"].to_numpy(dtype="int64")
+        cb = pdf["_cb"].to_numpy(dtype="int64")
+        ids = _np.unique(_np.concatenate([ca, cb]))
+        u = _np.searchsorted(ids, ca)
+        v = _np.searchsorted(ids, cb)
+        label = _np.arange(len(ids))
+        while True:
+            before = label.copy()
+            _np.minimum.at(label, u, before[v])
+            _np.minimum.at(label, v, before[u])
+            while True:
+                jumped = label[label]
+                if _np.array_equal(jumped, label):
+                    break
+                label = jumped
+            if _np.array_equal(label, before):
+                break
+        # min index ↔ min id (ids sorted ascending)
+        return _pd.DataFrame({"id": ids, "cluster_id": ids[label]})
 
     edges = pairs.select(
         F.col(block_col).alias("_blk"),

@@ -1024,10 +1024,15 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def record_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full match→cluster pipeline.  Clustering runs per fingerprint block
-    (`cluster_matches_blocked`: one shuffle + in-block union-find — edges
-    cannot cross blocks, so this is exact and, unlike the round-1 global
-    label-propagation loop, needs no iteration over the full label set)."""
+    """Full match→cluster pipeline, exact-dedup-first (the reference's own
+    device: StringsClusterAnalyzer dedupes identical values before the
+    quadratic in-block match).  Identical names collapse to one
+    representative (trivially connected at weight 1.0), the quadratic
+    levenshtein match runs over DISTINCT names only, per-block union-find
+    (`cluster_matches_blocked`) labels the representative graph, and
+    members rejoin by name equality.  Web corpora repeat values heavily —
+    at sf0.1 this cuts the scored pairs from ~3.1M to a few thousand with
+    bit-identical output to the pair-everything formulation."""
     from .functions.keyers import fingerprint_key
     from .operators.matching import (
         candidate_pairs,
@@ -1036,13 +1041,36 @@ def record_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     part = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
-    pairs = candidate_pairs(part, "p_partkey", fingerprint_key(F.col("p_name")))
-    matched = pairs.select(
+    keyed = part.select(
+        fingerprint_key(F.col("p_name")).alias("_fbk"), "p_partkey", "p_name"
+    )
+    reps = keyed.groupBy("_fbk", "p_name").agg(
+        F.min("p_partkey").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    pairs = candidate_pairs(reps, "rep_id", F.col("_fbk"))
+    edges = pairs.select(
         "_bk",
-        F.col("a_p_partkey").alias("id_a"),
-        F.col("b_p_partkey").alias("id_b"),
+        F.col("a_rep_id").alias("id_a"),
+        F.col("b_rep_id").alias("id_b"),
     ).where(levenshtein_weight(F.col("a_p_name"), F.col("b_p_name")) >= 0.8)
-    return cluster_matches_blocked(matched)
+    rep_labels = cluster_matches_blocked(edges).withColumnRenamed("id", "rep_id")
+    # members join their representative's component; reps without an edge
+    # but with exact duplicates form their own cluster (rep_id label) —
+    # exactly the ids the pair-everything formulation emits.
+    labeled_reps = reps.join(rep_labels, "rep_id", "left").select(
+        "_fbk",
+        "p_name",
+        "n_members",
+        F.col("cluster_id").isNotNull().alias("rep_has_edge"),
+        F.coalesce("cluster_id", "rep_id").alias("cluster_id"),
+    )
+    # join back on (_fbk, p_name): same keys as the reps groupBy, so the
+    # exchange is shared; AQE broadcasts the (small) distinct-name side.
+    return (
+        keyed.join(labeled_reps, ["_fbk", "p_name"])
+        .where((F.col("n_members") > 1) | F.col("rep_has_edge"))
+        .select(F.col("p_partkey").alias("id"), "cluster_id")
+    )
 
 
 QUERIES["record_clusters_parts"] = record_clusters_parts
