@@ -187,6 +187,23 @@ _PY_MATCHERS = {
 _NULL_SAFE = {"metaphone", "double_metaphone", "soundex_fr"}
 
 
+def register_matcher(name: str, fn, null_safe: bool = False) -> None:
+    """Pluggable CUSTOM matcher registry (the reference's
+    `AttributeMatcherFactory.createMatcher(CUSTOM, className)` surface,
+    `record/linkage/attribute/AttributeMatcherFactory.java`): any
+    `fn(str, str) -> float in [0,1]` becomes addressable by name in
+    `py_matcher_weight`, `tokenized_weight` (as a base matcher), and
+    `mfb_match_merge` attr configs.  `null_safe=True` hands the fn raw
+    Nones (it implements its own null semantics); otherwise null inputs
+    short-circuit to 0.0."""
+    if not callable(fn):
+        raise TypeError("matcher must be callable")
+    _PY_MATCHERS[name] = fn
+    MFB_MATCHERS[name] = fn
+    if null_safe:
+        _NULL_SAFE.add(name)
+
+
 def py_matcher_weight(kind: str, a: Column, b: Column) -> Column:
     """Arrow-batched pairwise weight for the Python-side matchers."""
     fn = _PY_MATCHERS[kind]

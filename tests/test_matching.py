@@ -131,3 +131,29 @@ def test_tokenized_weight_spark(spark):
     assert rows[0]["any"] == 1.0 and rows[0]["same"] == 0.0
     assert rows[1]["any"] == 1.0 and rows[1]["same"] == 1.0
     assert rows[2]["any"] == 0.0
+
+
+def test_custom_matcher_registry(spark):
+    """CUSTOM matcher surface: any python fn pluggable by name, usable in
+    the pair scorer, the tokenized modes, and the MFB queue."""
+    from data_quality_spark.operators.matching import (
+        _mfb_queue,
+        py_matcher_weight,
+        register_matcher,
+        tokenized_weight,
+    )
+
+    register_matcher("prefix2", lambda a, b: 1.0 if a[:2] == b[:2] else 0.0)
+    df = spark.createDataFrame([("abcd", "abzz"), ("abcd", "xyz")], "a string, b string")
+    rows = df.select(
+        py_matcher_weight("prefix2", F.col("a"), F.col("b")).alias("w"),
+        tokenized_weight("prefix2", "anyorder", F.col("a"), F.col("b")).alias("t"),
+    ).collect()
+    assert [r["w"] for r in rows] == [1.0, 0.0]
+    assert [r["t"] for r in rows] == [1.0, 0.0]
+    masters = _mfb_queue(
+        [{"id": 0, "ts": 0, "v": "abcd"}, {"id": 1, "ts": 0, "v": "abzz"}],
+        [{"col": "v", "matcher": "prefix2", "weight": 1.0, "merge": "longest"}],
+        0.9,
+    )
+    assert len(masters) == 1 and masters[0]["ids"] == {0, 1}
