@@ -117,3 +117,52 @@ def julian_day(c: Column) -> Column:
     since the Julian epoch (unix epoch = JD 2440587.5; date-at-midnight
     convention → 2440588)."""
     return (F.unix_date(F.to_date(c)) + F.lit(2440588)).cast("long")
+
+
+# --- Chronology conversion (DateCalendarConverter chronology path) ---------
+#
+# The reference converts between java.time chronologies
+# (`converters/DateCalendarConverter.java:32-39`: Iso ↔ Hijrah / Japanese /
+# Minguo / ThaiBuddhist).  Three of the four are exact arithmetic on the
+# proleptic Gregorian calendar and are implemented natively below;
+# HijrahChronology needs the Umm al-Qura lunar tables and is a documented
+# exclusion (no table resource in this sandbox).
+
+# Japanese eras (public table: era, first day, Gregorian start year)
+_JAPANESE_ERAS = (
+    ("Reiwa", "2019-05-01", 2019),
+    ("Heisei", "1989-01-08", 1989),
+    ("Showa", "1926-12-25", 1926),
+    ("Taisho", "1912-07-30", 1912),
+    ("Meiji", "1868-01-25", 1868),
+)
+
+
+def iso_to_minguo(c: Column) -> Column:
+    """ISO date → Minguo (ROC) 'yyyy-MM-dd' string: year − 1911."""
+    d = F.to_date(c)
+    y = (F.year(d) - 1911).cast("int")
+    return F.concat(
+        F.lpad(y.cast("string"), 4, "0"), F.date_format(d, "-MM-dd")
+    )
+
+
+def iso_to_thai_buddhist(c: Column) -> Column:
+    """ISO date → Thai Buddhist 'yyyy-MM-dd' string: year + 543."""
+    d = F.to_date(c)
+    y = (F.year(d) + 543).cast("int")
+    return F.concat(F.lpad(y.cast("string"), 4, "0"), F.date_format(d, "-MM-dd"))
+
+
+def iso_to_japanese(c: Column) -> Column:
+    """ISO date → Japanese-era string 'Era y-MM-dd' (era year 1-based)."""
+    d = F.to_date(c)
+    expr = F.lit(None).cast("string")
+    out = F.when(F.lit(False), expr)
+    for era, start, base in _JAPANESE_ERAS:
+        yr = (F.year(d) - base + 1).cast("int")
+        out = out.when(
+            d >= F.lit(start).cast("date"),
+            F.concat(F.lit(era + " "), yr.cast("string"), F.date_format(d, "-MM-dd")),
+        )
+    return out.otherwise(F.date_format(d, "yyyy-MM-dd"))

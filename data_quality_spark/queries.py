@@ -1300,6 +1300,46 @@ def phone_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "chronology_convert_orders",
+    """
+    SELECT o_orderkey,
+      lpad(CAST(year(o_orderdate) - 1911 AS VARCHAR), 4, '0')
+        || strftime(o_orderdate, '-%m-%d') AS minguo,
+      lpad(CAST(year(o_orderdate) + 543 AS VARCHAR), 4, '0')
+        || strftime(o_orderdate, '-%m-%d') AS thai,
+      CASE
+        WHEN o_orderdate >= DATE '2019-05-01'
+          THEN 'Reiwa ' || CAST(year(o_orderdate) - 2018 AS VARCHAR)
+        WHEN o_orderdate >= DATE '1989-01-08'
+          THEN 'Heisei ' || CAST(year(o_orderdate) - 1988 AS VARCHAR)
+        WHEN o_orderdate >= DATE '1926-12-25'
+          THEN 'Showa ' || CAST(year(o_orderdate) - 1925 AS VARCHAR)
+        WHEN o_orderdate >= DATE '1912-07-30'
+          THEN 'Taisho ' || CAST(year(o_orderdate) - 1911 AS VARCHAR)
+        ELSE 'Meiji ' || CAST(year(o_orderdate) - 1867 AS VARCHAR) END
+        || strftime(o_orderdate, '-%m-%d') AS japanese
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def chronology_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateCalendarConverter chronology path (`converters/
+    DateCalendarConverter.java:32-39`): ISO → Minguo / ThaiBuddhist /
+    Japanese-era strings, all exact Gregorian arithmetic recomputed
+    independently by the oracle.  (Hijrah excluded: needs Umm al-Qura
+    tables — documented.)"""
+    from .functions.normalize import iso_to_japanese, iso_to_minguo, iso_to_thai_buddhist
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        iso_to_minguo(d).alias("minguo"),
+        iso_to_thai_buddhist(d).alias("thai"),
+        iso_to_japanese(d).alias("japanese"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Phonetic matchers / blocking keys (Metaphone, DoubleMetaphone, Cologne,
 # SoundexFR — SURVEY §2.5 matcher family + AlgoBox phonetic keys)

@@ -96,3 +96,29 @@ def test_phone(spark):
     assert _one(spark, "(555) 123-4567", EP.phone_region) == "US"
     assert _one(spark, "12345", EP.is_possible_phone) is False
     assert _one(spark, "5551234567", EP.is_possible_phone) is True
+
+
+def test_chronology_converters(spark):
+    """Era boundaries: Heisei starts 1989-01-08 (before it: Showa 64)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.normalize import (
+        iso_to_japanese,
+        iso_to_minguo,
+        iso_to_thai_buddhist,
+    )
+
+    df = spark.createDataFrame(
+        [("1989-01-07",), ("1989-01-08",), ("2019-05-01",), ("2020-02-29",)], "d string"
+    )
+    rows = df.select(
+        "d",
+        iso_to_japanese(F.col("d")).alias("jp"),
+        iso_to_minguo(F.col("d")).alias("mg"),
+        iso_to_thai_buddhist(F.col("d")).alias("th"),
+    ).collect()
+    got = {r["d"]: (r["jp"], r["mg"], r["th"]) for r in rows}
+    assert got["1989-01-07"][0] == "Showa 64-01-07"
+    assert got["1989-01-08"][0] == "Heisei 1-01-08"
+    assert got["2019-05-01"][0] == "Reiwa 1-05-01"
+    assert got["2020-02-29"] == ("Reiwa 2-02-29", "0109-02-29", "2563-02-29")
