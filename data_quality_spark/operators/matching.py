@@ -430,6 +430,7 @@ def _mfb_queue(records, attrs, threshold):
         return {
             "ids": {rec["id"]},
             "ts": rec.get("ts", 0) or 0,
+            "src": rec.get("src"),
             "vals": {a["col"]: rec[a["col"]] for a in attrs},
             "seen": {a["col"]: ([rec[a["col"]]] if rec[a["col"]] is not None else [None]) for a in attrs},
             "counts": {a["col"]: {rec[a["col"]]: 1} for a in attrs},
@@ -456,10 +457,19 @@ def _mfb_queue(records, attrs, threshold):
             conf += s * a["weight"]
         return conf / total_w if total_w else conf
 
-    def merge_value(rule, param, left, right, counts, l_ts, r_ts):
+    def merge_value(rule, param, left, right, counts, l_ts, r_ts, l_src=None, r_src=None):
         if left is None:
             return right
         if right is None:
+            return left
+        if rule == "most_trusted_source":
+            # param = trusted source name (`MFBRecordMerger.java:298` path):
+            # prefer the value whose record came from that source; tie /
+            # neither → keep incoming (left)
+            if l_src == param:
+                return left
+            if r_src == param:
+                return right
             return left
         if rule == "concatenate":
             return f"{left}{param or ''}{right}"
@@ -517,7 +527,10 @@ def _mfb_queue(records, attrs, threshold):
             out["vals"][c] = merge_value(
                 a.get("merge", "most_common"), a.get("param"),
                 rec["vals"][c], master["vals"][c], counts, rec["ts"], master["ts"],
+                rec.get("src"), master.get("src"),
             )
+        # merged record keeps the trusted source if either side had it
+        out["src"] = rec.get("src") or master.get("src")
         return out
 
     queue = deque(mk_state(r) for r in records)
@@ -544,6 +557,7 @@ def mfb_match_merge(
     attrs: list[dict],
     threshold: float = 0.85,
     timestamp_col: str | None = None,
+    source_col: str | None = None,
     max_block: int = 1000,
 ) -> DataFrame:
     """Distributed MFB: fingerprint-style blocking bounds each block at
@@ -555,7 +569,8 @@ def mfb_match_merge(
     `attrs`: [{col, matcher, weight, merge, param?}, ...] with matcher in
     MFB_MATCHERS and merge in {most_common, longest, shortest, largest,
     smallest, most_recent, most_ancient, prefer_true, prefer_false,
-    concatenate}.
+    concatenate, most_trusted_source (param = source name, needs
+    `source_col`)}.
 
     Output: (block, group_id=min member id, group_size, member_ids,
     <col>_survivor ...).  Deterministic: records are processed in id order
@@ -569,6 +584,7 @@ def mfb_match_merge(
         F.col(id_col).cast("long").alias("_id"),
         *[F.col(c).cast("string").alias(c) for c in cols],
         (F.col(timestamp_col).cast("timestamp").cast("long") if timestamp_col else F.lit(0)).alias("_ts"),
+        (F.col(source_col).cast("string") if source_col else F.lit(None).cast("string")).alias("_src"),
     )
     oversize = (
         keyed.groupBy("_bk").agg(F.count(F.lit(1)).alias("n"))
@@ -585,6 +601,7 @@ def mfb_match_merge(
             {
                 "id": int(r["_id"]),
                 "ts": int(r["_ts"]) if r["_ts"] is not None else 0,
+                "src": None if _pd.isna(r["_src"]) else r["_src"],
                 **{c: (None if _pd.isna(r[c]) else r[c]) for c in cols},
             }
             for _, r in pdf.iterrows()

@@ -160,3 +160,37 @@ def test_cluster_blocked_agrees_with_python_oracle(spark):
             parent[rb] = ra
     expected = {(i, find(i)) for i in parent}
     assert blocked == expected
+
+
+def test_most_trusted_source(spark):
+    rows = [
+        (1, "b", "Amburgay", "crm"),
+        (2, "b", "Amburgay", "web"),
+    ]
+    df = spark.createDataFrame(rows, "id long, bk string, name string, src string")
+    out = mfb_match_merge(
+        df,
+        "id",
+        F.col("bk"),
+        [{"col": "name", "matcher": "exact", "weight": 1.0, "merge": "most_trusted_source", "param": "web"}],
+        threshold=0.9,
+        source_col="src",
+    ).collect()
+    assert len(out) == 1 and out[0]["group_size"] == 2
+
+    # distinguishing values: trusted source's value must survive
+    rows2 = [
+        (1, "b", "Amburgay", "crm"),
+        (2, "b", "Amburgey", "web"),
+    ]
+    df2 = spark.createDataFrame(rows2, "id long, bk string, name string, src string")
+    out2 = mfb_match_merge(
+        df2,
+        "id",
+        F.col("bk"),
+        [{"col": "name", "matcher": "jaro_winkler", "weight": 1.0, "merge": "most_trusted_source", "param": "web"}],
+        threshold=0.5,
+        source_col="src",
+    ).collect()
+    assert out2[0]["group_size"] == 2
+    assert out2[0]["name_survivor"] == "Amburgey"
