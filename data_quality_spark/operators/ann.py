@@ -117,6 +117,43 @@ def add_lsh_key(
     return df.withColumn(out_col, _key(F.col(vec_col)))
 
 
+def add_lsh_probe_keys(
+    df: DataFrame,
+    vec_col: str,
+    dim: int = 64,
+    num_planes: int = 10,
+    seed: int = 42,
+    probes: int = 0,
+    out_col: str = "lsh_key",
+) -> DataFrame:
+    """Multi-probe key array: the exact bucket plus the `probes` buckets
+    reached by flipping the sign bits whose hyperplane margin is SMALLEST
+    (classic multi-probe LSH: the most uncertain bits are the likeliest to
+    differ for true near neighbors).  Output: one row per probed bucket."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _keys(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        planes = _planes(dim, num_planes, seed).T  # (dim, planes)
+        weights = (1 << np.arange(num_planes)).astype("int64")
+        for vecs in batches:
+            m = np.asarray(vecs.tolist(), dtype="float64")
+            proj = m @ planes                       # (B, planes): signed margins
+            base = ((proj > 0) @ weights).astype("int64")
+            order = np.argsort(np.abs(proj), axis=1)  # smallest margin first
+            out = []
+            for b in range(m.shape[0]):
+                keys = [int(base[b])]
+                for p in range(min(probes, num_planes)):
+                    keys.append(int(base[b]) ^ int(weights[order[b, p]]))
+                out.append(keys)
+            yield pd.Series(out)
+
+    return df.withColumn(out_col, F.explode(_keys(F.col(vec_col))))
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -127,23 +164,25 @@ def lsh_topk(
     dim: int = 64,
     num_planes: int = 10,
     seed: int = 42,
+    probes: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's LSH bucket.
+    """Approximate top-k: score only within the query's LSH bucket(s).
 
-    Recall can be raised by multi-probe (duplicating queries across
-    neighboring buckets) — left as `num_planes` tuning here.  Same output
-    shape as brute_force_topk.
+    `probes` > 0 enables multi-probe: each query additionally searches the
+    buckets reached by flipping its lowest-margin sign bits — recall rises
+    toward brute force at the cost of `1 + probes` bucket joins' worth of
+    candidates, while the corpus side still shuffles nothing (bucket keys
+    only, query side broadcast).  Buckets are disjoint, so no candidate
+    dedup is needed.  Same output shape as brute_force_topk.
     """
     v = add_lsh_key(vectors, vec_col, dim, num_planes, seed)
-    q = add_lsh_key(
-        queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
-        ),
-        "__qvec",
-        dim,
-        num_planes,
-        seed,
+    qbase = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
+    if probes > 0:
+        q = add_lsh_probe_keys(qbase, "__qvec", dim, num_planes, seed, probes)
+    else:
+        q = add_lsh_key(qbase, "__qvec", dim, num_planes, seed)
     joined = v.join(F.broadcast(q), on="lsh_key").filter(F.col(id_col) != F.col("__qid"))
     scored = joined.select(
         F.col("__qid").alias("query_id"),

@@ -855,14 +855,33 @@ def ann_bruteforce_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed top-3 (numpy pandas-UDF keys → rows-only)."""
+    """Sign-LSH bucketed top-3 with multi-probe (3 lowest-margin bit flips
+    — recall measured in tests/test_dedup_ann.py; numpy pandas-UDF keys →
+    rows-only)."""
     from .operators.ann import lsh_topk
 
     emb = _read_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, queries, 3, num_planes=6)
+    return lsh_topk(emb, queries, 3, num_planes=6, probes=3)
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates over the embeddings table
+    (LSH-bucketed, min_cosine verify — rows-only; the exactness baseline
+    ann_bruteforce_top3 is oracle-checked)."""
+    from .operators.ann import embedding_dedup_candidates
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    # 0.35: the synthetic embeddings are near-orthogonal random vectors
+    # (no planted dups), so a production-style 0.9 threshold yields zero
+    # rows; 0.35 surfaces the true closest pairs and keeps the rows-only
+    # check meaningful at every sf tier.
+    return embedding_dedup_candidates(emb, num_planes=6, min_cosine=0.35)
+
+
+QUERIES["embedding_near_dups"] = embedding_near_dups
 
 
 # ---------------------------------------------------------------------------

@@ -181,3 +181,33 @@ def test_qgram_short_string_guard(spark):
     assert got[("", "")] == 1.0
     assert got[("a", "ab")] == 0.0  # documented divergence (ref: padded overlap)
     assert got[("ab", "ab")] == 1.0
+
+
+def test_lsh_multiprobe_recall_improves(spark):
+    """Multi-probe (lowest-margin bit flips) must raise recall over
+    single-bucket LSH on planted near neighbors (cos ≈ 0.99, where bucket
+    search is meaningful — random 64-d points are near-orthogonal and
+    land in far buckets by construction)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(60, 64).astype("float64")
+    for i in range(30):  # plant a near-dup for each query
+        base[i + 30] = base[i] + rng.randn(64) * 0.06
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall(probes):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in ann.lsh_topk(vecs, queries, 1, num_planes=8, probes=probes).collect()
+            if r["rank"] == 1
+        }
+        return sum(1 for q in range(30) if got.get(q) == q + 30) / 30
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0
+    assert r4 >= 0.9  # probing the 4 most uncertain bits recovers ~all planted pairs
