@@ -169,7 +169,10 @@ def _write_report(r: dict, here: str) -> None:
         f"{r['hardware_ceiling_efficiency']} efficiency over the same core pair on this box",
         "(32 nominal vCPUs ≈ 16 physical cores + SMT, shared/noisy host), so the",
         f"job's efficiency normalized to that ceiling is **{r['normalized_efficiency']}** —",
-        "the fraction of the achievable speedup the job actually captures.",
+        "the fraction of the achievable speedup the job actually captures",
+        "(values above 1.0 just mean the calibration loop hit more host noise",
+        "than the job did during its window — the raw efficiency above is the",
+        "gating number).",
         "",
         "Reproduce: `python bench/scaling.py` (≈ a few minutes; writes",
         "`bench/scaling_result.json` and regenerates this file).",
