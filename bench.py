@@ -60,6 +60,9 @@ HEADLINE = [
     "quantiles_approx_lquantity",
     "avro_nested_quality",
     "doc_signatures",
+    "chronology_convert_orders",
+    "dominant_type_votes",
+    "embedding_near_dups",
 ]
 
 

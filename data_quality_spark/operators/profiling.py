@@ -53,27 +53,30 @@ def dominant_type(df: DataFrame, columns: list[str]) -> DataFrame:
     """
     counts = data_type_counts(df, columns)
     non_empty = counts.filter(F.col("data_type") != "EMPTY")
-    # INTEGER counts also vote for DOUBLE
-    as_double = non_empty.withColumn(
-        "vote_type",
-        F.when(F.col("data_type") == "INTEGER", F.lit("DOUBLE")).otherwise(F.col("data_type")),
+    # "Any integer is a double" — but ONLY when both types are present
+    # (`DataTypeOccurences.java:59-63`): DOUBLE's count absorbs INTEGER's,
+    # INTEGER keeps its own count; a pure-integer column stays INTEGER.
+    per_col = non_empty.groupBy("column_name").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.when(F.col("data_type") == "INTEGER", F.col("cnt")).otherwise(0)).alias("int_cnt"),
+        F.sum(F.when(F.col("data_type") == "DOUBLE", F.col("cnt")).otherwise(0)).alias("dbl_cnt"),
     )
-    votes = as_double.groupBy("column_name", "vote_type").agg(F.sum("cnt").alias("votes"))
-    totals = non_empty.groupBy("column_name").agg(F.sum("cnt").alias("total"))
-    ranked = (
-        votes.join(totals, "column_name")
-        .withColumn("frac", F.col("votes") / F.col("total"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("column_name").orderBy(F.desc("votes"), F.asc("vote_type"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
+    adjusted = non_empty.join(per_col, "column_name").withColumn(
+        "adj_cnt",
+        F.when(
+            (F.col("data_type") == "DOUBLE") & (F.col("int_cnt") > 0) & (F.col("dbl_cnt") > 0),
+            F.col("cnt") + F.col("int_cnt"),
+        ).otherwise(F.col("cnt")),
     )
+    ranked = adjusted.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("column_name").orderBy(F.desc("adj_cnt"), F.asc("data_type"))
+        ),
+    ).filter(F.col("rk") == 1)
     return ranked.select(
         "column_name",
-        F.when(F.col("frac") >= 0.5, F.col("vote_type"))
+        F.when(F.col("adj_cnt") >= 0.5 * F.col("total"), F.col("data_type"))
         .otherwise(F.lit("STRING"))
         .alias("suggested_type"),
     )

@@ -264,6 +264,79 @@ def value_quality_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dominant_type_votes",
+    f"""
+    WITH src AS (SELECT event_id AS k FROM events WHERE event_id < 2000),
+    stacked AS (
+      SELECT 'pure_int' AS column_name,
+        CASE WHEN k % 10 < 7 THEN CAST(k AS VARCHAR) ELSE 'w' || CAST(k AS VARCHAR) END AS v
+      FROM src
+      UNION ALL
+      SELECT 'int_and_double',
+        CASE WHEN k % 2 = 0 THEN CAST(k AS VARCHAR) ELSE CAST(k AS VARCHAR) || '.5' END
+      FROM src
+      UNION ALL
+      SELECT 'mixed_junk',
+        CASE CAST(k % 3 AS INTEGER) WHEN 0 THEN CAST(k AS VARCHAR)
+             WHEN 1 THEN 'true' ELSE 'word' END
+      FROM src
+      UNION ALL
+      SELECT 'mostly_dates',
+        CASE WHEN k % 10 < 6
+          THEN strftime(DATE '1995-01-01' + INTERVAL (CAST(k % 1000 AS INTEGER)) DAY, '%Y-%m-%d')
+          ELSE 'notadate' END
+      FROM src
+    ),
+    classified AS (SELECT column_name, {_SQL_CLASSIFY} AS data_type FROM stacked),
+    ne AS (
+      SELECT column_name, data_type, count(*) AS cnt FROM classified
+      WHERE data_type <> 'EMPTY' GROUP BY 1, 2
+    ),
+    per_col AS (
+      SELECT column_name, sum(cnt) AS total,
+        sum(CASE WHEN data_type = 'INTEGER' THEN cnt ELSE 0 END) AS int_cnt,
+        sum(CASE WHEN data_type = 'DOUBLE' THEN cnt ELSE 0 END) AS dbl_cnt
+      FROM ne GROUP BY 1
+    ),
+    adjusted AS (
+      SELECT ne.column_name, data_type, total,
+        CASE WHEN data_type = 'DOUBLE' AND int_cnt > 0 AND dbl_cnt > 0
+             THEN cnt + int_cnt ELSE cnt END AS adj_cnt
+      FROM ne JOIN per_col USING (column_name)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY column_name
+                                   ORDER BY adj_cnt DESC, data_type ASC) AS rk
+      FROM adjusted
+    )
+    SELECT column_name,
+      CASE WHEN adj_cnt >= 0.5 * total THEN data_type ELSE 'STRING' END AS suggested_type
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dominant_type_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-voted dominant type (`DataTypeOccurences.java:41-82`:
+    most frequent non-empty type if ≥50%, conditional INTEGER→DOUBLE
+    absorption, STRING fallback) over four constructed columns covering
+    each decision branch — the oracle recomputes the full vote in SQL."""
+    from .operators.profiling import dominant_type
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    ks = k.cast("string")
+    mixed = ev.select(
+        F.when(k % 10 < 7, ks).otherwise(F.concat(F.lit("w"), ks)).alias("pure_int"),
+        F.when(k % 2 == 0, ks).otherwise(F.concat(ks, F.lit(".5"))).alias("int_and_double"),
+        F.when(k % 3 == 0, ks).when(k % 3 == 1, F.lit("true")).otherwise(F.lit("word")).alias("mixed_junk"),
+        F.when(
+            k % 10 < 6,
+            F.date_format(F.date_add(F.lit("1995-01-01").cast("date"), (k % 1000).cast("int")), "yyyy-MM-dd"),
+        ).otherwise(F.lit("notadate")).alias("mostly_dates"),
+    )
+    return dominant_type(mixed, ["pure_int", "int_and_double", "mixed_junk", "mostly_dates"])
+
+
 # ---------------------------------------------------------------------------
 # Pattern frequency (GenericCharPatternRecognizer)
 # ---------------------------------------------------------------------------

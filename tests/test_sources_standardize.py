@@ -24,7 +24,8 @@ def test_read_csv_inferred(spark, tmp_path):
     )
     df, types = read_csv_inferred(spark, str(p), sep=";")
     assert types == {
-        "id": "DOUBLE",          # INTEGER ⊂ DOUBLE (reference semantics)
+        "id": "INTEGER",         # pure-int column: no DOUBLE present, no absorption
+                                 # (DataTypeOccurences.java:59-63 — conditional)
         "name": "STRING",
         "salary": "DOUBLE",
         "active": "BOOLEAN",
