@@ -63,6 +63,7 @@ HEADLINE = [
     "chronology_convert_orders",
     "dominant_type_votes",
     "embedding_near_dups",
+    "email_chain_customer",
 ]
 
 

@@ -282,16 +282,20 @@ def quantiles(df: DataFrame, column: str, probs: list[float], exact: bool = True
     return df.agg(*aggs)
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = False
+) -> DataFrame:
     """Full per-column profile in ONE aggregate pass — the Spark form of
     `Analyzers.with(quality, type, cardinality, length…)` composing analyzers
     over a single scan (`common/inference/Analyzers.java:48-67`).
 
     Output (long format): one row per column with
-      (column_name, n_rows, n_empty, n_distinct_approx, min_len, max_len,
+      (column_name, n_rows, n_empty, n_distinct, min_len, max_len,
        avg_len, n_boolean, n_integer, n_double, n_date, n_string)
-    Every counter is a partial-aggregation-friendly sum/min/max — a 100-column
-    profile of a 100 TB table is one scan + one tiny shuffle.
+    where n_distinct is HLL (rsd 0.05) by default or exact with
+    `exact_distinct=True` (the exact form is oracle-comparable; HLL is the
+    100 TB default).  Every counter is partial-aggregation-friendly — a
+    100-column profile of a 100 TB table is one scan + one tiny shuffle.
     """
     columns = columns or df.columns
     aggs = []
@@ -299,11 +303,14 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         s = F.col(c).cast("string")
         ln = F.length(s)
         cls = ti.classify(s)
+        distinct_agg = (
+            F.countDistinct(s) if exact_distinct else F.approx_count_distinct(s, rsd=0.05)
+        )
         aggs.extend(
             [
                 F.count(F.lit(1)).alias(f"{c}__n_rows"),
                 F.sum(F.when(ti.is_empty(s), 1).otherwise(0)).alias(f"{c}__n_empty"),
-                F.approx_count_distinct(s, rsd=0.05).alias(f"{c}__n_distinct_approx"),
+                distinct_agg.alias(f"{c}__n_distinct"),
                 F.min(ln).alias(f"{c}__min_len"),
                 F.max(ln).alias(f"{c}__max_len"),
                 F.avg(ln).alias(f"{c}__avg_len"),
@@ -315,7 +322,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         )
     wide = df.agg(*aggs)
     fields = [
-        "n_rows", "n_empty", "n_distinct_approx", "min_len", "max_len",
+        "n_rows", "n_empty", "n_distinct", "min_len", "max_len",
         "avg_len", "n_boolean", "n_integer", "n_double", "n_date", "n_string",
     ]
     stacked = F.array(

@@ -698,6 +698,63 @@ def email_check_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "email_chain_customer",
+    f"""
+    WITH e AS (
+      SELECT c_custkey,
+        CASE CAST(c_custkey % 5 AS INTEGER)
+          WHEN 0 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+          WHEN 1 THEN 'User' || CAST(c_custkey AS VARCHAR) || '@Example.com'
+          WHEN 2 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@spam.biz'
+          WHEN 3 THEN '9bad' || CAST(c_custkey AS VARCHAR) || '@example.com'
+          ELSE 'not an email' END AS email
+      FROM customer
+    ), v AS (
+      SELECT c_custkey, email,
+        CASE
+          WHEN NOT regexp_matches(email, '{_EMAIL_RE}') THEN 'INVALID'
+          WHEN lower(split_part(email, '@', 2)) = 'spam.biz' THEN 'INVALID'
+          WHEN lower(split_part(split_part(email, '@', 2), '.', -1)) NOT IN ('com', 'org') THEN 'INVALID'
+          WHEN NOT regexp_matches(split_part(email, '@', 1), '^[a-zA-Z][a-zA-Z0-9._]*$') THEN 'INVALID'
+          WHEN email <> lower(email) THEN 'CORRECTED'
+          ELSE 'VALID' END AS verdict
+      FROM e
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY verdict
+    """,
+)
+def email_chain_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full EmailVerify checker chain (syntax → domain blacklist → TLD
+    whitelist → local-part regex → case correction, first failure wins —
+    `EmailVerify.checkEmail` ordering) over constructed addresses hitting
+    every verdict branch; the oracle replays the chain in SQL."""
+    from .functions.emailphone import email_verify
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    email = (
+        F.when(k % 5 == 0, F.concat(F.lit("user"), ks, F.lit("@example.com")))
+        .when(k % 5 == 1, F.concat(F.lit("User"), ks, F.lit("@Example.com")))
+        .when(k % 5 == 2, F.concat(F.lit("user"), ks, F.lit("@spam.biz")))
+        .when(k % 5 == 3, F.concat(F.lit("9bad"), ks, F.lit("@example.com")))
+        .otherwise(F.lit("not an email"))
+    )
+    verdict = email_verify(
+        email,
+        domain_blacklist=("spam.biz",),
+        tld_whitelist=("com", "org"),
+        local_part_regex=r"^[a-zA-Z][a-zA-Z0-9._]*$",
+        lowercase_correction=True,
+    )
+    return (
+        cust.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Survivorship (Drools rules → aggregate expressions, SURVEY.md §2.9)
 # ---------------------------------------------------------------------------
@@ -1888,14 +1945,67 @@ def ann_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_top3"] = ann_ivf_top3
 
 
+def _sql_classify_full() -> str:
+    """Full classify cascade (incl. the 40-entry date/time regex tables)
+    as one DuckDB CASE — generated from the SAME pattern constants the
+    engine compiles into rlikes."""
+    b = ti.BOOLEAN_PATTERN.replace("'", "''")
+    i = ti.INTEGER_PATTERN
+    d = ti.DOUBLE_PATTERN
+    pref = ti.DATE_PREFILTER_PATTERN
+    dc = ti.DATE_COMBINED_PATTERN.replace("'", "''")
+    tc = ti.TIME_COMBINED_PATTERN.replace("'", "''")
+    return f"""
+    CASE
+      WHEN v IS NULL OR trim(v) = '' THEN 'EMPTY'
+      WHEN regexp_matches(v, '{b}') THEN 'BOOLEAN'
+      WHEN regexp_matches(v, '{i}') THEN 'INTEGER'
+      WHEN regexp_matches(v, '{d}') THEN 'DOUBLE'
+      WHEN regexp_matches(v, '{pref}') AND regexp_matches(v, '{dc}') THEN 'DATE'
+      WHEN regexp_matches(v, '^[0-9]{{1,2}}[:.][0-9]{{2}}') AND regexp_matches(v, '{tc}') THEN 'TIME'
+      ELSE 'STRING'
+    END
+    """
+
+
+def _profile_oracle_sql() -> str:
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v FROM customer" for c in cols
+    )
+    cls = _sql_classify_full()
+    return f"""
+    WITH stacked AS ({stacked}),
+    t AS (SELECT column_name, v, {cls} AS ty FROM stacked)
+    SELECT column_name,
+      CAST(count(*) AS DOUBLE) AS n_rows,
+      CAST(sum(CASE WHEN ty = 'EMPTY' THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty,
+      CAST(count(DISTINCT v) AS DOUBLE) AS n_distinct,
+      CAST(min(length(v)) AS DOUBLE) AS min_len,
+      CAST(max(length(v)) AS DOUBLE) AS max_len,
+      CAST(sum(length(v)) AS DOUBLE) / count(length(v)) AS avg_len,
+      CAST(sum(CASE WHEN ty = 'BOOLEAN' THEN 1 ELSE 0 END) AS DOUBLE) AS n_boolean,
+      CAST(sum(CASE WHEN ty = 'INTEGER' THEN 1 ELSE 0 END) AS DOUBLE) AS n_integer,
+      CAST(sum(CASE WHEN ty = 'DOUBLE' THEN 1 ELSE 0 END) AS DOUBLE) AS n_double,
+      CAST(sum(CASE WHEN ty = 'DATE' THEN 1 ELSE 0 END) AS DOUBLE) AS n_date,
+      CAST(sum(CASE WHEN ty = 'STRING' THEN 1 ELSE 0 END) AS DOUBLE) AS n_string
+    FROM t GROUP BY column_name
+    """
+
+
+@_register("profile_customer_table", _profile_oracle_sql())
 def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass composite profile (Analyzers.with analog; HLL distinct →
-    rows-only, the exact pieces are oracle-checked individually)."""
+    """One-pass composite profile (Analyzers.with analog), exact-distinct
+    variant so the ENTIRE row — counts, lengths, full type classification
+    incl. the 40-entry date/time tables — hash-verifies against a DuckDB
+    oracle generated from the same pattern constants.  (The HLL-distinct
+    production default is exercised by cardinality_hll.)  The double-typed
+    c_acctbal column is excluded: float→string rendering differs across
+    engines, which is a formatting artifact, not a profiling semantic."""
     cust = _read(spark, sf_dir, "customer")
-    return prof.profile_table(cust)
-
-
-QUERIES["profile_customer_table"] = profile_customer_table
+    return prof.profile_table(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"], exact_distinct=True
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,10 +54,15 @@ def test_is_valid_as(spark):
 
 
 def test_dominant_type_threshold_voting(spark):
-    # 3 ints + 1 string over 4 non-empty → 75% ≥ 50% → DOUBLE (int⊂double)
+    # 3 ints + 1 string over 4 non-empty → 75% ≥ 50% → INTEGER (no DOUBLE
+    # present, so no absorption — DataTypeOccurences.java:59-63 conditional)
     df = spark.createDataFrame([("1",), ("2",), ("3",), ("x",), ("",)], "c string")
     got = prof.dominant_type(df, ["c"]).collect()[0]
-    assert got["suggested_type"] == "DOUBLE"
+    assert got["suggested_type"] == "INTEGER"
+    # with a real double present, integers absorb into DOUBLE
+    df2 = spark.createDataFrame([("1",), ("2",), ("3.5",), ("x",)], "c string")
+    got2 = prof.dominant_type(df2, ["c"]).collect()[0]
+    assert got2["suggested_type"] == "DOUBLE"
     # 50/50 mixed types sum below threshold→ STRING
     df2 = spark.createDataFrame([("1",), ("x",), ("y",), ("z",)], "c string")
     got2 = prof.dominant_type(df2, ["c"]).collect()[0]
