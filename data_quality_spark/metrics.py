@@ -15,12 +15,16 @@ from pyspark.sql.observation import Observation
 from .rules import RULE_NAMES
 
 
-def observe_rule_metrics(df: DataFrame, prefix: str = "rule_") -> tuple[DataFrame, Observation]:
+def observe_rule_metrics(
+    df: DataFrame, prefix: str = "rule_", name: str = "dq_rule_metrics"
+) -> tuple[DataFrame, Observation]:
     """Attach an Observation counting pass/fail per rule + keep/drop totals.
 
     Read `observation.get` AFTER an action has materialized the DataFrame.
+    `name` must be unique among concurrently-running observed queries
+    (the concurrent-bucket checkpoint path names one per bucket).
     """
-    obs = Observation("dq_rule_metrics")
+    obs = Observation(name)
     aggs = [F.count(F.lit(1)).alias("rows_total")]
     for name in RULE_NAMES:
         aggs.append(F.sum(F.when(F.col(prefix + name), 1).otherwise(0)).alias(f"{name}_pass"))

@@ -48,15 +48,25 @@ def output_columns() -> list[str]:
     ]
 
 
-def run(input_path: str, output_path: str, buckets: int = 0, master: str | None = None) -> dict:
+def run(
+    input_path: str,
+    output_path: str,
+    buckets: int = 0,
+    master: str | None = None,
+    bucket_concurrency: int = 1,
+) -> dict:
     """Batch entry point.  With buckets>0, runs resumable per-bucket commits
-    (see checkpoint.py); otherwise a single write."""
+    (see checkpoint.py; `bucket_concurrency` > 1 keeps a big cluster
+    saturated by running that many bucket jobs at once); otherwise a
+    single write."""
     spark = get_spark(app_name="dq-pipeline", master=master)
     pages = spark.read.parquet(input_path)
     if buckets > 0:
         from .checkpoint import run_with_checkpoint
 
-        return run_with_checkpoint(spark, pages, output_path, n_buckets=buckets)
+        return run_with_checkpoint(
+            spark, pages, output_path, n_buckets=buckets, max_concurrency=bucket_concurrency
+        )
     from .metrics import observe_rule_metrics
 
     out = apply_quality_pipeline(pages).select(*output_columns())
@@ -70,9 +80,13 @@ def main() -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--buckets", type=int, default=0)
+    p.add_argument("--bucket-concurrency", type=int, default=1)
     p.add_argument("--master", default=None)
     a = p.parse_args()
-    metrics = run(a.input, a.output, buckets=a.buckets, master=a.master)
+    metrics = run(
+        a.input, a.output, buckets=a.buckets, master=a.master,
+        bucket_concurrency=a.bucket_concurrency,
+    )
     print(metrics)
 
 

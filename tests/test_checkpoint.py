@@ -42,3 +42,26 @@ def test_kill_and_resume(spark, tmp_path):
     a = {r["url"]: (r["keep"], r["scrubbed_text"]) for r in resumed.collect()}
     b = {r["url"]: (r["keep"], r["scrubbed_text"]) for r in single.collect()}
     assert a == b
+
+
+def test_concurrent_buckets_same_output(spark, tmp_path):
+    """max_concurrency>1 must produce byte-equivalent committed output and
+    identical per-bucket metrics to the serial loop."""
+    from data_quality_spark.checkpoint import load_progress, run_with_checkpoint
+    from data_quality_spark.schema import synthesize_pages
+
+    pages = synthesize_pages(spark, 400)
+    serial_dir, conc_dir = str(tmp_path / "serial"), str(tmp_path / "conc")
+    run_with_checkpoint(spark, pages, serial_dir, n_buckets=4)
+    summary = run_with_checkpoint(spark, pages, conc_dir, n_buckets=4, max_concurrency=4)
+    assert summary["processed_buckets"] == [0, 1, 2, 3]
+
+    def metrics(d):
+        return {
+            row["bucket"]: row["metrics"] for row in load_progress(d, 4)
+        }
+
+    assert metrics(serial_dir) == metrics(conc_dir)
+    a = spark.read.parquet(f"{serial_dir}/bucket=*").orderBy("url").collect()
+    b = spark.read.parquet(f"{conc_dir}/bucket=*").orderBy("url").collect()
+    assert a == b
