@@ -64,6 +64,7 @@ HEADLINE = [
     "dominant_type_votes",
     "embedding_near_dups",
     "email_chain_customer",
+    "fuzzy_standardize_names",
 ]
 
 

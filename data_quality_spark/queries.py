@@ -1786,6 +1786,71 @@ def standardize_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIRSTNAME_SYNONYMS = {
+    "William": ["william", "will", "bill", "billy"],
+    "Elizabeth": ["elizabeth", "liz", "beth", "eliza"],
+    "Katherine": ["katherine", "kate", "kathy"],
+    "Jonathan": ["jonathan", "jon", "john"],
+}
+
+
+def _fuzzy_std_oracle_sql() -> str:
+    lookup_rows = ", ".join(
+        f"('{s.lower()}', '{std}')"
+        for std, syns in sorted(_FIRSTNAME_SYNONYMS.items())
+        for s in sorted(set(syns + [std]), key=lambda x: x.lower())
+    )
+    return f"""
+    WITH dict(syn, std) AS (VALUES {lookup_rows}),
+    src AS (
+      SELECT c_custkey,
+        CASE CAST(c_custkey % 6 AS INTEGER)
+          WHEN 0 THEN 'will' WHEN 1 THEN 'bil'   -- exact syn / 1-edit typo
+          WHEN 2 THEN 'lliz' WHEN 3 THEN 'Kate'
+          WHEN 4 THEN 'jhon' ELSE 'zzzz' END AS name
+      FROM customer WHERE c_custkey < 600
+    ),
+    cand AS (
+      SELECT s.c_custkey, s.name, d.std,
+        levenshtein(lower(s.name), d.syn) AS dist, d.syn
+      FROM src s CROSS JOIN dict d
+      WHERE levenshtein(lower(s.name), d.syn) <= 1
+    ),
+    best AS (
+      SELECT c_custkey, name, std,
+        row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY dist ASC, length(syn) ASC, syn ASC) AS rk
+      FROM cand
+    )
+    SELECT s.c_custkey, s.name, coalesce(b.std, s.name) AS name_std
+    FROM src s LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (c_custkey)
+    """
+
+
+@_register("fuzzy_standardize_names", _fuzzy_std_oracle_sql())
+def fuzzy_standardize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FirstNameStandardize (Lucene fuzzy maxEdits analog,
+    `standardization/.../FirstNameStandardize.java`): exact-or-1-edit
+    dictionary match with deterministic tiebreaks, recomputed independently
+    by the oracle over constructed names covering exact hits, typos,
+    case-folding, and misses."""
+    from .operators.standardize import standardize_fuzzy
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    k = F.col("c_custkey")
+    name = (
+        F.when(k % 6 == 0, F.lit("will"))
+        .when(k % 6 == 1, F.lit("bil"))
+        .when(k % 6 == 2, F.lit("lliz"))
+        .when(k % 6 == 3, F.lit("Kate"))
+        .when(k % 6 == 4, F.lit("jhon"))
+        .otherwise(F.lit("zzzz"))
+    )
+    named = cust.select("c_custkey", name.alias("name"))
+    out = standardize_fuzzy(named, "name", _FIRSTNAME_SYNONYMS, max_edits=1)
+    return out.select("c_custkey", "name", F.col("name_std"))
+
+
 def mask_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic same-class masking (TextPatternUtil.replaceCharacter
     analog; xxhash64-seeded digit rotation → rows-only)."""
