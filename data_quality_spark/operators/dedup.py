@@ -213,19 +213,22 @@ def _lsh_pairs_from_sigs(
 ) -> DataFrame:
     """(id, sig, sh) → candidate pairs carrying both hashed-shingle sets."""
     rows_per_band = num_hashes // num_bands
-    # Repartition on the band key: ONE exchange, materialized once and
-    # reused (ReusedExchange) by both the bucket-size count and the pair
-    # join below — the expensive signature aggregation upstream runs
-    # exactly once.
     keyed = sigs.select(
         "id",
         "sh",
         F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key"),
-    ).repartition(F.col("band_key"))
-    # Bucket-size cap: count keys on the shared exchange (no extra shuffle
-    # — already partitioned by band_key), then broadcast the (rare)
-    # oversize keys and anti-join them away.  The round-1 window-based cap
-    # shuffled every full row just to count bucket members.
+    )
+    # Bucket-size cap: count KEYS only (groupBy on the band key — the
+    # hashed-shingle sets never ride this branch's shuffle), then broadcast
+    # the (rare) oversize keys and anti-join them away.  The round-1
+    # window-based cap shuffled every full row just to count bucket members.
+    #
+    # Deliberately NO explicit repartition here: near-dup corpora have
+    # heavily skewed band keys (exact duplicates share every band), and a
+    # forced hash partition on the key pins each giant key to one task —
+    # measured 3-4× worse than letting AQE's skew-join splitting manage the
+    # self-join exchange.  The cost is that the explode subtree evaluates
+    # once per consumer, which is cheap relative to a straggler task.
     oversize = (
         keyed.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -233,11 +236,6 @@ def _lsh_pairs_from_sigs(
         .select("band_key")
     )
     keyed = keyed.join(F.broadcast(oversize), "band_key", "left_anti")
-    # One more explicit exchange right below the self-join: both join sides
-    # hang off the same shuffle instead of re-running the anti-join subtree
-    # (measured ~20% off the near-dup query; Spark's exchange reuse does
-    # not fire reliably for this diamond under AQE).
-    keyed = keyed.repartition(F.col("band_key"))
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
