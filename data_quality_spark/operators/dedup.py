@@ -327,18 +327,23 @@ def simhash_candidates(
     id_col: str,
     num_bands: int | None = None,
     max_hamming: int = 6,
+    max_bucket: int = 5000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + native bit_count(xor) verify.
     Output: (id_a, id_b, hamming).
 
     Recall contract (pigeonhole): two fingerprints at Hamming distance d
     share a band whenever d ≤ num_bands - 1, so recall is EXACTLY 1.0 for
-    max_hamming ≤ num_bands - 1.  By default the banding auto-widens to
-    the smallest power-of-two band count ≥ max_hamming + 1, capped at 8
-    (8 × 8-bit bands): radii ≤ 7 are exhaustive; wider radii are
-    explicitly best-effort (a d>7 pair collides in a band only
-    probabilistically) — callers wanting exhaustive d>7 must do an exact
-    join.  Measured in tests/test_dedup_ann.py::test_simhash_recall."""
+    max_hamming ≤ num_bands - 1 (buckets over `max_bucket` excepted — the
+    reference's block-cap device; an over-full band value means boilerplate
+    mass, not discriminative structure).  By default the banding
+    auto-widens to the smallest power-of-two band count ≥ max_hamming + 1,
+    capped at 8 (8 × 8-bit bands).  SCALE NOTE: band width = 64/num_bands
+    bits bounds the key space at 2^width per band — 8-bit bands mean ≥ n/256
+    docs per bucket on ANY corpus, so the candidate-pair count grows
+    quadratically once n ≫ 2^width·max_bucket; prefer the smallest radius
+    (fewest bands) the use case allows.  Measured in
+    tests/test_dedup_ann.py::test_simhash_recall."""
     if num_bands is None:
         num_bands = 1
         while num_bands < max_hamming + 1 and num_bands < 8:
@@ -363,6 +368,13 @@ def simhash_candidates(
             )
         ).alias("band_key"),
     )
+    oversize = (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("band_key")
+    )
+    bands = bands.join(F.broadcast(oversize), "band_key", "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
