@@ -65,6 +65,8 @@ HEADLINE = [
     "embedding_near_dups",
     "email_chain_customer",
     "fuzzy_standardize_names",
+    "matcher_weights_vocab",
+    "qgram_weights_parts",
 ]
 
 

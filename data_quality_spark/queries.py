@@ -1297,6 +1297,98 @@ def tokenized_weight_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATCHER_PAIRS = [
+    ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("JELLYFISH", "SMELLYFISH"),
+    ("kitten", "sitting"), ("karolin", "kathrin"), ("", ""), ("abc", "abc"),
+    ("abc", "xyz"), ("Smith", "Smyth"), ("Jon", "John"), ("data", "date"),
+    ("quality", "qualify"), ("spark", "sparks"), ("a", "b"), ("ab", "ba"),
+]
+
+
+def _matcher_weights_oracle_sql() -> str:
+    from .operators.matching import _hamming, _jaro, _jaro_winkler, _lcs
+
+    def arms(fn) -> str:
+        # CAST('<repr>' AS DOUBLE): string→double parsing round-trips the
+        # Python float repr exactly (a bare numeric literal CASE would be
+        # typed DECIMAL and compare unequal)
+        return " ".join(
+            f"WHEN {i} THEN CAST('{fn(a, b)!r}' AS DOUBLE)"
+            for i, (a, b) in enumerate(_MATCHER_PAIRS)
+        )
+
+    return f"""
+    WITH p AS (
+      SELECT CAST(c_custkey AS INTEGER) AS idx FROM customer
+      WHERE c_custkey < {len(_MATCHER_PAIRS)}
+    )
+    SELECT idx,
+      CASE idx {arms(_jaro)} END AS jaro_w,
+      CASE idx {arms(_jaro_winkler)} END AS jw_w,
+      CASE idx {arms(_hamming)} END AS hamming_w,
+      CASE idx {arms(_lcs)} END AS lcs_w
+    FROM p
+    """
+
+
+@_register("matcher_weights_vocab", _matcher_weights_oracle_sql())
+def matcher_weights_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro / Jaro-Winkler / Hamming / LCS attribute matchers over a fixed
+    pair vocabulary, hash-verified: the oracle embeds the expected weights
+    (Python float repr round-trips exactly through DuckDB's double parser),
+    so the Arrow-UDF plumbing must reproduce them bit-for-bit.  The pure
+    algorithms themselves are pinned separately against public vectors in
+    tests/test_matching.py."""
+    from .operators.matching import py_matcher_weight
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < len(_MATCHER_PAIRS))
+    idx = F.col("c_custkey").cast("int")
+    a = F.element_at(F.array(*[F.lit(x) for x, _ in _MATCHER_PAIRS]), idx + 1)
+    b = F.element_at(F.array(*[F.lit(y) for _, y in _MATCHER_PAIRS]), idx + 1)
+    pairs = cust.select(idx.alias("idx"), a.alias("a"), b.alias("b"))
+    return pairs.select(
+        "idx",
+        py_matcher_weight("jaro", F.col("a"), F.col("b")).alias("jaro_w"),
+        py_matcher_weight("jaro_winkler", F.col("a"), F.col("b")).alias("jw_w"),
+        py_matcher_weight("hamming", F.col("a"), F.col("b")).alias("hamming_w"),
+        py_matcher_weight("lcs", F.col("a"), F.col("b")).alias("lcs_w"),
+    )
+
+
+@_register(
+    "qgram_weights_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+        CASE WHEN length(p_name) >= 2 THEN
+          list_distinct(list_transform(generate_series(1, length(p_name) - 1),
+                        i -> substr(p_name, i, 2)))
+        ELSE [] END AS ga,
+        CASE WHEN length(reverse(p_name)) >= 2 THEN
+          list_distinct(list_transform(generate_series(1, length(p_name) - 1),
+                        i -> substr(reverse(p_name), i, 2)))
+        ELSE [] END AS gb
+      FROM part WHERE p_partkey <= 500
+    )
+    SELECT p_partkey,
+      CASE WHEN len(list_distinct(ga || gb)) > 0
+           THEN len(list_intersect(ga, gb)) / len(list_distinct(ga || gb))
+           WHEN p_name = reverse(p_name) THEN 1.0 ELSE 0.0 END AS qgram_w
+    FROM p
+    """,
+)
+def qgram_weights_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QGramsMatcher (char-bigram Jaccard) against the reversed string —
+    non-trivial weights on every row, recomputed natively by DuckDB."""
+    from .operators.matching import qgram_weight
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        qgram_weight(F.col("p_name"), F.reverse(F.col("p_name"))).alias("qgram_w"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Survivorship extras (operators/survivorship.py)
 # ---------------------------------------------------------------------------
