@@ -67,6 +67,8 @@ HEADLINE = [
     "fuzzy_standardize_names",
     "matcher_weights_vocab",
     "qgram_weights_parts",
+    "scrub_docs",
+    "japanese_normalize_vocab",
 ]
 
 

@@ -56,15 +56,18 @@ def half_to_full_width(c: Column) -> Column:
     return F.translate(c, half, full)
 
 
+def nfkc_str(v: str | None) -> str | None:
+    """Scalar NFKC (the per-row contract; exposed for oracles/tests)."""
+    import unicodedata
+
+    return unicodedata.normalize("NFKC", v) if v is not None else None
+
+
 @F.pandas_udf(StringType())
 def nfkc_normalize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """NFKC normalization (CharWidthConverter NFKC mode) — Arrow-batched."""
-    import unicodedata
-
     for s in batches:
-        yield s.map(
-            lambda v: unicodedata.normalize("NFKC", v) if v is not None else None
-        )
+        yield s.map(nfkc_str)
 
 
 def title_case(c: Column) -> Column:
