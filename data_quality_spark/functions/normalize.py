@@ -131,13 +131,16 @@ def julian_day(c: Column) -> Column:
 # HijrahChronology needs the Umm al-Qura lunar tables and is a documented
 # exclusion (no table resource in this sandbox).
 
-# Japanese eras (public table: era, first day, Gregorian start year)
+# Japanese eras (public table: era, first day, Gregorian start year).
+# Meiji is dated from 1868-01-01 — java.time's JapaneseEra.MEIJI boundary —
+# so engine and oracle agree on every 1868+ date; pre-Meiji dates fall back
+# to the plain ISO string in BOTH engines (documented behavior).
 _JAPANESE_ERAS = (
     ("Reiwa", "2019-05-01", 2019),
     ("Heisei", "1989-01-08", 1989),
     ("Showa", "1926-12-25", 1926),
     ("Taisho", "1912-07-30", 1912),
-    ("Meiji", "1868-01-25", 1868),
+    ("Meiji", "1868-01-01", 1868),
 )
 
 

@@ -26,8 +26,8 @@ def observe_rule_metrics(
     """
     obs = Observation(name)
     aggs = [F.count(F.lit(1)).alias("rows_total")]
-    for name in RULE_NAMES:
-        aggs.append(F.sum(F.when(F.col(prefix + name), 1).otherwise(0)).alias(f"{name}_pass"))
+    for rule in RULE_NAMES:
+        aggs.append(F.sum(F.when(F.col(prefix + rule), 1).otherwise(0)).alias(f"{rule}_pass"))
     if "keep" in df.columns:
         aggs.append(F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_total"))
     return df.observe(obs, *aggs), obs

@@ -288,17 +288,19 @@ def candidate_pairs(
     both sides' attributes prefixed a_/b_.  Blocks larger than `max_block`
     are dropped (the reference's block cap, `StringsClusterAnalyzer.java:57`).
     """
-    # Repartition on the block key FIRST: the exchange materializes once and
-    # is reused (ReusedExchange) by both consumers below — the block-size
-    # count and the pair join — so the input is scanned/keyed exactly once
-    # and the only data that ever moves is one hash shuffle on the key.
-    keyed = df.withColumn("_bk", block_key).repartition(F.col("_bk"))
-    # Cap oversize blocks by counting keys on the shared exchange (no new
-    # shuffle — already partitioned by _bk) + broadcast anti-join of the
-    # rare oversize keys.  The round-1 window variant shuffled full
-    # attribute rows just to count block members.
+    # NO forced repartition on the block key: blocking keys (phonetic,
+    # fingerprint) are skew-prone — a hash partition on the key pins each
+    # giant key to one task, and exchange reuse under AQE is unreliable
+    # anyway (measured: the round-2 repartition variant regressed 31% via a
+    # two-consumer diamond recompute).  Instead the oversize-block count
+    # runs on a KEY-ONLY projection of the source — the parquet scan is
+    # column-pruned to the key inputs, the partial agg combines map-side,
+    # and the (rare) oversize keys broadcast back as an anti-join.  The
+    # pair self-join's exchanges are left to AQE, which splits skewed keys.
+    keyed = df.withColumn("_bk", block_key)
     oversize = (
-        keyed.groupBy("_bk")
+        df.select(block_key.alias("_bk"))
+        .groupBy("_bk")
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > max_block)
         .select("_bk")

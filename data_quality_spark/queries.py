@@ -930,9 +930,17 @@ _SIMHASH_ORACLE = r"""
       SELECT doc_id,
         sum(CASE WHEN bset = 1 THEN (1::UBIGINT << bit)::HUGEINT ELSE 0 END)::UBIGINT AS v
       FROM bits GROUP BY doc_id
-    ), keyed AS (
+    ), keyed0 AS (
       SELECT doc_id, v, band, (v >> (band * 16)) & 65535 AS bkey
       FROM (SELECT doc_id, v, unnest([0, 1, 2, 3]) AS band FROM fp)
+    ), keyed AS (
+      -- mirror the engine's max_bucket=5000 band-bucket cap exactly
+      SELECT * FROM keyed0 k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM keyed0 g
+        WHERE g.band = k.band AND g.bkey = k.bkey
+        GROUP BY g.band, g.bkey HAVING count(*) > 5000
+      )
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.v AS va, b.v AS vb
       FROM keyed a JOIN keyed b
@@ -1627,15 +1635,19 @@ def phone_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         || strftime(o_orderdate, '-%m-%d') AS thai,
       CASE
         WHEN o_orderdate >= DATE '2019-05-01'
-          THEN 'Reiwa ' || CAST(year(o_orderdate) - 2018 AS VARCHAR)
+          THEN 'Reiwa ' || CAST(year(o_orderdate) - 2018 AS VARCHAR) || strftime(o_orderdate, '-%m-%d')
         WHEN o_orderdate >= DATE '1989-01-08'
-          THEN 'Heisei ' || CAST(year(o_orderdate) - 1988 AS VARCHAR)
+          THEN 'Heisei ' || CAST(year(o_orderdate) - 1988 AS VARCHAR) || strftime(o_orderdate, '-%m-%d')
         WHEN o_orderdate >= DATE '1926-12-25'
-          THEN 'Showa ' || CAST(year(o_orderdate) - 1925 AS VARCHAR)
+          THEN 'Showa ' || CAST(year(o_orderdate) - 1925 AS VARCHAR) || strftime(o_orderdate, '-%m-%d')
         WHEN o_orderdate >= DATE '1912-07-30'
-          THEN 'Taisho ' || CAST(year(o_orderdate) - 1911 AS VARCHAR)
-        ELSE 'Meiji ' || CAST(year(o_orderdate) - 1867 AS VARCHAR) END
-        || strftime(o_orderdate, '-%m-%d') AS japanese
+          THEN 'Taisho ' || CAST(year(o_orderdate) - 1911 AS VARCHAR) || strftime(o_orderdate, '-%m-%d')
+        WHEN o_orderdate >= DATE '1868-01-01'
+          -- Meiji from 1868-01-01 (java.time JapaneseEra.MEIJI boundary)
+          THEN 'Meiji ' || CAST(year(o_orderdate) - 1867 AS VARCHAR) || strftime(o_orderdate, '-%m-%d')
+        -- pre-Meiji: ISO passthrough, mirrored by the engine fallback
+        ELSE strftime(o_orderdate, '%Y-%m-%d')
+      END AS japanese
     FROM orders WHERE o_orderkey <= 1000
     """,
 )
