@@ -154,6 +154,54 @@ def add_lsh_probe_keys(
     return df.withColumn(out_col, F.explode(_keys(F.col(vec_col))))
 
 
+def lsh_plane_dots_expr(vec_col: Column, planes) -> list[Column]:
+    """Per-plane dot products as NATIVE sequential-fold expressions.
+
+    The planes are ±1 Rademacher rows, so each product is exact; the fold
+    order matches DuckDB's `list_sum(list_transform(...))` bit-for-bit
+    (the same device as `cosine_expr`).  This is the engine-portable twin
+    of the numpy batch matmul in `add_lsh_key` — used by oracle-checked
+    contract queries; production keeps the vectorized UDF.
+    """
+    # closure factory, NOT a default arg: pyspark inspects the lambda's
+    # parameter count, and a 3rd (defaulted) param breaks arity resolution
+    def _times_plane(a):
+        # binary transform lambda: arg 2 IS the 0-based array index
+        return lambda x, i: x.cast("double") * F.element_at(a, i + 1)
+
+    dots = []
+    for row in planes:
+        arr = F.array(*[F.lit(float(x)) for x in row])
+        prod = F.transform(vec_col, _times_plane(arr))
+        dots.append(F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v))
+    return dots
+
+
+def lsh_base_key_expr(dots: list[Column]) -> Column:
+    """Sign-bit bucket key from per-plane dots (bigint)."""
+    key = F.lit(0).cast("long")
+    for p, d in enumerate(dots):
+        key = key + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return key
+
+
+def lsh_probe_keys_expr(dots: list[Column], probes: int) -> Column:
+    """Array of probe keys: the base key plus the buckets reached by
+    flipping the `probes` lowest-|margin| sign bits (ties broken by plane
+    index — the struct sort is lexicographic (|margin|, p) in both Spark
+    and DuckDB)."""
+    base = lsh_base_key_expr(dots)
+    ms = F.array(
+        *[F.struct(F.abs(d).alias("m"), F.lit(p).alias("p")) for p, d in enumerate(dots)]
+    )
+    bit_values = F.array(*[F.lit(1 << p).cast("long") for p in range(len(dots))])
+    flips = F.slice(F.array_sort(ms), 1, probes)
+    probe_keys = F.transform(
+        flips, lambda s: base.bitwiseXOR(F.element_at(bit_values, s["p"] + 1))
+    )
+    return F.concat(F.array(base), probe_keys)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -165,6 +213,7 @@ def lsh_topk(
     num_planes: int = 10,
     seed: int = 42,
     probes: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only within the query's LSH bucket(s).
 
@@ -174,15 +223,31 @@ def lsh_topk(
     candidates, while the corpus side still shuffles nothing (bucket keys
     only, query side broadcast).  Buckets are disjoint, so no candidate
     dedup is needed.  Same output shape as brute_force_topk.
+
+    `portable=True` computes keys with the native sequential-fold
+    expressions (bit-identical to a SQL oracle) instead of the numpy UDF;
+    the bucketing join and scoring below are the same code either way.
     """
-    v = add_lsh_key(vectors, vec_col, dim, num_planes, seed)
     qbase = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
-    if probes > 0:
-        q = add_lsh_probe_keys(qbase, "__qvec", dim, num_planes, seed, probes)
+    if portable:
+        planes = _planes(dim, num_planes, seed)
+        v = vectors.withColumn(
+            "lsh_key", lsh_base_key_expr(lsh_plane_dots_expr(F.col(vec_col), planes))
+        )
+        q = qbase.withColumn(
+            "lsh_key",
+            F.explode(
+                lsh_probe_keys_expr(lsh_plane_dots_expr(F.col("__qvec"), planes), probes)
+            ),
+        )
     else:
-        q = add_lsh_key(qbase, "__qvec", dim, num_planes, seed)
+        v = add_lsh_key(vectors, vec_col, dim, num_planes, seed)
+        if probes > 0:
+            q = add_lsh_probe_keys(qbase, "__qvec", dim, num_planes, seed, probes)
+        else:
+            q = add_lsh_key(qbase, "__qvec", dim, num_planes, seed)
     joined = v.join(F.broadcast(q), on="lsh_key").filter(F.col(id_col) != F.col("__qid"))
     scored = joined.select(
         F.col("__qid").alias("query_id"),
@@ -221,6 +286,10 @@ def train_ivf_centroids(
         vec_col,
     )
     rows = reservoir_k(keyed, sample, "__k", seed=seed).collect()
+    # sort by the content-hash key: collect() order depends on partitioning,
+    # and X's row order feeds rng.choice + the mean reductions — sorting
+    # makes the trained centroids invariant to cluster size / parallelism
+    rows = sorted(rows, key=lambda r: r["__k"])
     X = np.asarray([r[vec_col] for r in rows], dtype="float64")
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -319,10 +388,19 @@ def embedding_dedup_candidates(
     num_planes: int = 10,
     seed: int = 42,
     min_cosine: float = 0.95,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: bucket by LSH key, score in-bucket.
-    Output: (id_a, id_b, cosine)."""
-    v = add_lsh_key(vectors, vec_col, dim, num_planes, seed).select(
+    Output: (id_a, id_b, cosine).  `portable=True` uses the native
+    sequential-fold key expressions (SQL-oracle-replayable)."""
+    if portable:
+        planes = _planes(dim, num_planes, seed)
+        keyed = vectors.withColumn(
+            "lsh_key", lsh_base_key_expr(lsh_plane_dots_expr(F.col(vec_col), planes))
+        )
+    else:
+        keyed = add_lsh_key(vectors, vec_col, dim, num_planes, seed)
+    v = keyed.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_key"
     )
     a, b = v.alias("a"), v.alias("b")

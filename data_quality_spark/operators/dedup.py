@@ -184,6 +184,39 @@ def minhash_signature_df(
     )
 
 
+def minhash_signature_df_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Engine-portable twin of `minhash_signature_df`: salted-md5 hex
+    signatures + 16-hex-char hashed-shingle sets, so the FULL near-dup
+    pipeline (banding, bucket cap, self-join, Jaccard verify) can be
+    recomputed exactly by a SQL oracle.  Same explode → codegen-hash →
+    partial-agg-min plan shape as the xxhash64 scale path; strings are
+    ~2-4× heavier than longs, which is why production keeps xxhash64 and
+    only the oracle-checked contract query uses this."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sh_h = F.substring(F.md5(F.concat(F.lit("sh:"), F.col("s"))), 1, 16)
+    hashed = ex.select("id", sh_h.alias("s_h"), *hash_cols)
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("s_h").alias("sh"),
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"), "sh"
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -272,8 +305,13 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     num_hashes: int = 16,
     num_bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidates → verify with true n-gram Jaccard ≥ threshold.
+    `portable=True` swaps the xxhash64 signatures for the salted-md5 twin
+    (`minhash_signature_df_portable`) so a SQL oracle can replay the whole
+    pipeline; everything downstream (banding join, cap, verify) is the
+    SAME code either way.
 
     Candidates come from an (id, band_key)-only banding join; both shingle
     sets then join onto the aggregated pair set by id (each participating
@@ -285,7 +323,8 @@ def minhash_near_duplicates(
     """
     from pyspark import StorageLevel
 
-    sigs = minhash_signature_df(df, text_col, id_col, shingle_n, num_hashes).persist(
+    sig_fn = minhash_signature_df_portable if portable else minhash_signature_df
+    sigs = sig_fn(df, text_col, id_col, shingle_n, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = _lsh_pairs_from_sigs(sigs, num_hashes, num_bands, max_bucket=1000)

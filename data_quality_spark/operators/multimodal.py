@@ -37,7 +37,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("byte_len", T.LongType(), True),
         T.StructField("sha256", T.StringType(), True),
         T.StructField("magic", T.StringType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # float64: the fake feature is u32/2^32 which float64 represents
+        # EXACTLY — so feature checksums are engine-portable integers (a
+        # float32 column would round to 24 bits and break the oracle)
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -123,29 +126,34 @@ def media_dedup_by_hash(df: DataFrame) -> DataFrame:
     )
 
 
+_SYNTH_MAGICS = [b"\xff\xd8\xff\xe0", b"\x89PNG\r\n\x1a\n", b"RIFF1234WAVE", b"ID3\x04"]
+_SYNTH_KINDS = ["image", "image", "audio", "audio"]
+
+
+def synth_media_spec(i: int, seed: int = 42) -> tuple[str, bytes, str]:
+    """The per-id payload SPEC for the synthetic media table: (kind,
+    payload, width-meta).  Pure Python (`random.Random` is a platform-
+    stable Mersenne Twister), shared by `synthesize_media` AND the driver
+    oracle builder — the oracle re-derives features from this spec with
+    hashlib alone, independently of the Spark/Arrow plumbing under test."""
+    import random
+
+    rng = random.Random(seed * 7_919 + int(i))
+    k = rng.randrange(4)
+    body = bytes(rng.getrandbits(8) for _ in range(rng.randrange(64, 256)))
+    return _SYNTH_KINDS[k], _SYNTH_MAGICS[k] + body, str(rng.randrange(100, 2000))
+
+
 def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded pseudo-bytes with
     realistic magic numbers) for tests/benches."""
-    import random
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        magics = [b"\xff\xd8\xff\xe0", b"\x89PNG\r\n\x1a\n", b"RIFF1234WAVE", b"ID3\x04"]
-        kinds = ["image", "image", "audio", "audio"]
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                rng = random.Random(seed * 7_919 + int(i))
-                k = rng.randrange(4)
-                body = bytes(rng.getrandbits(8) for _ in range(rng.randrange(64, 256)))
-                rows.append(
-                    (
-                        int(i),
-                        kinds[k],
-                        None,
-                        magics[k] + body,
-                        {"w": str(rng.randrange(100, 2000))},
-                    )
-                )
+                kind, payload, width = synth_media_spec(int(i), seed)
+                rows.append((int(i), kind, None, payload, {"w": width}))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "mime", "payload", "meta"]
             )

@@ -111,11 +111,20 @@ def mask_same_class(col: Column, seed: int = 42) -> Column:
     re-identification-safe AND reproducible).
 
     Lower→x, upper→X, digit→hash-derived digit, everything else kept.
+
+    The per-value digit offset derives from md5 (not xxhash64) so masking
+    is reproducible in ANY engine — the driver's DuckDB oracle recomputes
+    it exactly (same device as the MinHash/SimHash portable variants).
     """
     masked = F.regexp_replace(col, r"[a-z]", "x")
     masked = F.regexp_replace(masked, r"[A-Z]", "X")
     # digits: shift the whole string's digits by a per-value offset
-    offset = F.pmod(F.xxhash64(F.concat(F.lit(str(seed)), col)), F.lit(10))
+    # (first 8 md5 hex chars as an integer, mod 10 — engine-agnostic)
+    offset = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(str(seed)), col)), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
     digits = "0123456789"
     shifted = [digits[i:] + digits[:i] for i in range(10)]
     expr = F.when(offset == 0, F.translate(masked, digits, shifted[0]))

@@ -899,18 +899,59 @@ def jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_near_dups_oracle_sql() -> str:
+    """Full DuckDB replay of the MinHash-LSH pipeline: 16 salted-md5
+    min-hashes → 4 banded keys → 1000-bucket cap → band self-join →
+    distinct candidate pairs → exact Jaccard over the 16-hex hashed
+    shingle sets → threshold.  Every step mirrors the engine exactly."""
+    sig_entries = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x)))" for i in range(16)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_LWORDS} AS lws FROM documents
+    ), s AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM w
+    ), sg AS (
+      SELECT doc_id,
+        [{sig_entries}] AS sig,
+        list_distinct(list_transform(sh, x -> substr(md5('sh:' || x), 1, 16))) AS shh
+      FROM s WHERE len(sh) > 0
+    ), keyed0 AS (
+      SELECT doc_id, shh,
+        'b' || CAST(b AS VARCHAR) || ':' ||
+          md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS band_key
+      FROM (SELECT doc_id, sig, shh, unnest([0, 1, 2, 3]) AS b FROM sg)
+    ), keyed AS (
+      -- mirror the engine's max_bucket=1000 band-bucket cap
+      SELECT * FROM keyed0 k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM keyed0 g WHERE g.band_key = k.band_key
+        GROUP BY g.band_key HAVING count(*) > 1000
+      )
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.shh AS sa, b.shh AS sb
+      FROM keyed a JOIN keyed b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+      len(list_intersect(sa, sb)) / len(list_distinct(sa || sb)) AS jaccard
+    FROM pairs
+    WHERE len(list_intersect(sa, sb)) / len(list_distinct(sa || sb)) >= 0.5
+    """
+
+
+@_register("minhash_near_dups", _minhash_near_dups_oracle_sql())
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline (banding + verify).  Rows-only:
-    the multi-stage join plan isn't worth 100 lines of oracle SQL; its
-    building blocks (minhash_docs, jaccard_adjacent_docs) are oracle-checked."""
+    """Full MinHash-LSH near-dup pipeline (banding + bucket cap + verify),
+    HASH-VERIFIED end-to-end via the portable salted-md5 signature twin —
+    the banding join, cap, and Jaccard verify are the same code the
+    xxhash64 scale path runs (`operators/dedup.py`); the oracle replays
+    every stage in SQL.  Jaccard = int/int division, bit-identical."""
     from .operators.dedup import minhash_near_duplicates
 
     docs = _read_wide(spark, sf_dir, "documents")
-    out = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5)
-    # always non-empty: union with a count row marker would pollute schema;
-    # near-dup count can legitimately be 0 on random corpora, so return the
-    # candidate-pair stage when verification is empty? No — keep honest.
-    return out
+    return minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5, portable=True)
 
 
 _SIMHASH_ORACLE = r"""
@@ -1033,34 +1074,113 @@ def ann_bruteforce_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _lsh_planes_cte() -> str:
+    """±1 Rademacher planes (seed 42, 6 planes × 64 dims — the SAME matrix
+    `operators/ann._planes` builds) embedded as a VALUES CTE, plus the
+    per-vector dot/key machinery shared by the two sign-LSH oracles."""
+    from .operators.ann import _planes
+
+    planes = _planes(64, 6, 42)
+    rows = ", ".join(
+        "({}, [{}])".format(p, ", ".join(str(float(x)) for x in row))
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    pl(p, pv) AS (VALUES {rows}),
+    vd AS (
+      SELECT e.vec_id, e.embedding, pl.p,
+        list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])) AS d
+      FROM embeddings e CROSS JOIN pl
+    ),
+    va AS (
+      SELECT vec_id, any_value(embedding) AS embedding, list(d ORDER BY p) AS ds
+      FROM vd GROUP BY vec_id
+    ),
+    vk AS (
+      SELECT vec_id, embedding,
+        CAST(list_sum(list_transform(generate_series(0, 5),
+          p -> CASE WHEN ds[p + 1] > 0 THEN 1 << p ELSE 0 END)) AS BIGINT) AS lsh_key,
+        ds
+      FROM va
+    )"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    return f"""
+    WITH {_lsh_planes_cte()},
+    qk AS (
+      SELECT qid, qv, unnest(probe_keys) AS lsh_key FROM (
+        SELECT vec_id AS qid, embedding AS qv,
+          [lsh_key] || list_transform(
+            list_slice(list_sort(list_transform(generate_series(0, 5),
+              p -> {{'m': abs(ds[p + 1]), 'p': p}})), 1, 3),
+            s -> xor(lsh_key, CAST(1 << s.p AS BIGINT))) AS probe_keys
+        FROM vk WHERE vec_id < 20
+      )
+    ),
+    scored AS (
+      SELECT qk.qid AS query_id, vk.vec_id AS neighbor_id,
+        {_SQL_DOT.format(a='vk.embedding', b='qk.qv')}
+        / (sqrt({_SQL_DOT.format(a='vk.embedding', b='vk.embedding')})
+           * sqrt({_SQL_DOT.format(a='qk.qv', b='qk.qv')})) AS cosine
+      FROM vk JOIN qk ON vk.lsh_key = qk.lsh_key AND vk.vec_id <> qk.qid
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@_register("ann_lsh_top3", _ann_lsh_oracle_sql())
 def ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed top-3 with multi-probe (3 lowest-margin bit flips
-    — recall measured in tests/test_dedup_ann.py; numpy pandas-UDF keys →
-    rows-only)."""
+    """Sign-LSH bucketed top-3 with multi-probe (3 lowest-|margin| bit
+    flips).  HASH-VERIFIED: the portable key path computes plane dots as
+    native sequential folds (±1 Rademacher planes, seed 42 — exact
+    products, fold order matching DuckDB list_sum), and the oracle replays
+    keys, probes, bucket join, and cosine ranking end-to-end.  The numpy
+    scale path shares the bucketing/scoring code (recall measured in
+    tests/test_dedup_ann.py)."""
     from .operators.ann import lsh_topk
 
     emb = _read_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, queries, 3, num_planes=6, probes=3)
+    out = lsh_topk(emb, queries, 3, num_planes=6, probes=3, portable=True)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _embedding_near_dups_oracle_sql() -> str:
+    return f"""
+    WITH {_lsh_planes_cte()},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+        / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+           * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})) AS cosine
+      FROM vk a JOIN vk b ON a.lsh_key = b.lsh_key AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+    """
+
+
+@_register("embedding_near_dups", _embedding_near_dups_oracle_sql())
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate candidates over the embeddings table
-    (LSH-bucketed, min_cosine verify — rows-only; the exactness baseline
-    ann_bruteforce_top3 is oracle-checked)."""
+    """Embedding-cosine near-duplicate candidates (sign-LSH bucketed,
+    min_cosine verify).  HASH-VERIFIED via the portable native-fold key
+    path; the oracle rebuilds keys, bucket self-join, and the cosine
+    threshold.  0.35: the synthetic embeddings are near-orthogonal random
+    vectors (no planted dups), so a production-style 0.9 threshold yields
+    zero rows; 0.35 surfaces the true closest pairs and keeps the check
+    meaningful at every sf tier."""
     from .operators.ann import embedding_dedup_candidates
 
     emb = _read_wide(spark, sf_dir, "embeddings")
-    # 0.35: the synthetic embeddings are near-orthogonal random vectors
-    # (no planted dups), so a production-style 0.9 threshold yields zero
-    # rows; 0.35 surfaces the true closest pairs and keeps the rows-only
-    # check meaningful at every sf tier.
-    return embedding_dedup_candidates(emb, num_planes=6, min_cosine=0.35)
-
-
-QUERIES["embedding_near_dups"] = embedding_near_dups
+    return embedding_dedup_candidates(emb, num_planes=6, min_cosine=0.35, portable=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1168,7 +1288,6 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["minhash_near_dups"] = minhash_near_dups
 QUERIES["ann_lsh_top3"] = ann_lsh_top3
 
 
@@ -1309,12 +1428,22 @@ def record_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _mfb_oracle_sql() -> str:
+    from .pinned_oracles import MFB_CLUSTERS_PARTS_SQL
+
+    return MFB_CLUSTERS_PARTS_SQL
+
+
+@_register("mfb_clusters_parts", _mfb_oracle_sql())
 def mfb_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True MFB match-merge (sequential match-or-merge queue with merged-
     record re-enqueue, `matchmerge/mfb/MFB.java:113-147`) per fingerprint
-    block: golden records with survivorship values.  Rows-only: the queue
-    semantics are inherently procedural (pinned by tests/test_mfb.py
-    mirroring SwooshRecordGroupingTest scenarios)."""
+    block: golden records with survivorship values.  The queue is
+    procedural but DETERMINISTIC (records processed in id order per block;
+    checked parallelism-invariant), so the expected sf0.01 golden records
+    are pinned as a VALUES oracle — see pinned_oracles.py.  Queue
+    semantics ground truth: tests/test_mfb.py mirroring
+    SwooshRecordGroupingTest scenarios."""
     from .functions.keyers import fingerprint_key
     from .operators.matching import mfb_match_merge
 
@@ -1331,9 +1460,6 @@ def mfb_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("block", "group_id", "group_size", "member_ids",
                       "p_name_survivor", "p_retailprice_survivor")
-
-
-QUERIES["mfb_clusters_parts"] = mfb_clusters_parts
 
 
 @_register(
@@ -1876,29 +2002,85 @@ def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_oracle_sql() -> str:
+    """Independent ground truth for the media pipeline: replay the payload
+    SPEC (`synth_media_spec` — pure Python, no Spark) and derive byte_len /
+    sha256 / magic / feature checksum with hashlib alone.  Whatever the
+    mapInPandas plumbing corrupts (batching, Arrow binary round-trip,
+    schema) shifts these values."""
+    import hashlib as _hl
+
+    from .operators.multimodal import sniff_mime, synth_media_spec
+
+    rows = []
+    for i in range(500):
+        kind, payload, _w = synth_media_spec(i)
+        digest = _hl.sha256(payload).digest()
+        checksum = sum(
+            int.from_bytes(digest[4 * j : 4 * j + 4], "big") for j in range(8)
+        )
+        rows.append(
+            f"(CAST({i} AS BIGINT), '{kind}', CAST({len(payload)} AS BIGINT), "
+            f"'{_hl.sha256(payload).hexdigest()}', '{sniff_mime(payload)}', "
+            f"CAST(8 AS BIGINT), CAST({checksum} AS BIGINT))"
+        )
+    vals = ",\n  ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+  {vals}
+    ) AS t(media_id, kind, byte_len, sha256, magic, feat_dim, feat_checksum)
+    """
+
+
+@_register("media_features", _media_oracle_sql())
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesized media table → mapInPandas feature
-    extraction (deterministic fake decode kernel; rows-only).  The float
-    feature vector is projected through to_json so the contract row is all
-    scalars (the driver canonicalizer cannot hash arrays)."""
+    extraction (deterministic sha256-derived fake decode kernel — real
+    codecs absent in this sandbox, stubbed at `multimodal.py:decode_image`).
+    HASH-VERIFIED: the oracle replays the payload spec in pure Python and
+    derives every scalar with hashlib, independently of the Spark path.
+    The float64 feature vector is u32/2^32 per lane — exact — so its
+    checksum Σ feature[i]·2^32 is an integer both engines agree on."""
     from .operators.multimodal import extract_media_features, synthesize_media
 
     media = synthesize_media(spark, 500)
     out = extract_media_features(media)
+    checksum = F.aggregate(
+        F.transform(F.col("feature"), lambda x: (x * F.lit(4294967296.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return out.select(
-        "media_id", "kind", "byte_len", "sha256", "magic",
-        F.to_json(F.col("feature")).alias("feature_json"),
+        "media_id",
+        "kind",
+        "byte_len",
+        "sha256",
+        "magic",
+        F.size("feature").cast("long").alias("feat_dim"),
+        checksum.alias("feat_checksum"),
     )
 
 
-QUERIES["media_features"] = media_features
-
-
+@_register(
+    "avro_nested_quality",
+    # Independent ground truth from the fixture SPEC (not from the decoder):
+    # 500 recs; v is NULL iff i % 7 == 0 → 72 empties (i = 0, 7, …, 497);
+    # every non-null v is str(i*3), a plain integer → 428 valid INTEGERs;
+    # meta.k = 'x' * (i % 4) is empty iff i % 4 == 0 → 125.  If the OCF
+    # encoder/decoder round-trip corrupts any record, these counts shift.
+    """
+    SELECT CAST(500 AS BIGINT) AS n_rows,
+           CAST(72 AS BIGINT) AS v_empty,
+           CAST(428 AS BIGINT) AS v_valid_int,
+           CAST(125 AS BIGINT) AS k_empty
+    """,
+)
 def avro_nested_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end Avro container path (rows-only): deterministic OCF fixture
-    → distributed binaryFile+mapInPandas decode → typed DataFrame →
+    """End-to-end Avro container path: deterministic OCF fixture →
+    distributed binaryFile+mapInPandas decode → typed DataFrame →
     per-leaf validity counts (`AvroUtils.streamAvroFile` →
-    AvroQualityAnalyzer analog; `sources/avro.py`)."""
+    AvroQualityAnalyzer analog; `sources/avro.py`).  Hash-verified against
+    closed-form counts derived from the fixture construction itself."""
     import tempfile
 
     from .functions import typeinfer as ti
@@ -1930,9 +2112,6 @@ def avro_nested_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("v_valid_int"),
         F.sum(F.when(F.length("meta.k") == 0, 1).otherwise(0)).cast("long").alias("k_empty"),
     )
-
-
-QUERIES["avro_nested_quality"] = avro_nested_quality
 
 
 def _scrub_oracle_sql() -> str:
@@ -2135,16 +2314,32 @@ def fuzzy_standardize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "name", F.col("name_std"))
 
 
+@_register(
+    "mask_customer_names",
+    """
+    WITH m AS (
+      SELECT c_custkey,
+        regexp_replace(regexp_replace(c_name, '[a-z]', 'x', 'g'),
+                       '[A-Z]', 'X', 'g') AS base,
+        CAST(('0x' || substr(md5('42' || c_name), 1, 8))::UBIGINT % 10
+             AS INTEGER) AS off
+      FROM customer
+    )
+    SELECT c_custkey,
+      translate(base, '0123456789',
+                substr('01234567890123456789', off + 1, 10)) AS masked
+    FROM m
+    """,
+)
 def mask_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic same-class masking (TextPatternUtil.replaceCharacter
-    analog; xxhash64-seeded digit rotation → rows-only)."""
+    analog, `common/pattern/TextPatternUtil.java:73-80`).  Hash-verified:
+    the md5-derived digit rotation is recomputed independently by the
+    oracle (class replacement + per-value offset + digit translate)."""
     from .operators.standardize import mask_same_class
 
     cust = _read(spark, sf_dir, "customer")
     return cust.select("c_custkey", mask_same_class(F.col("c_name")).alias("masked"))
-
-
-QUERIES["mask_customer_names"] = mask_customer_names
 
 
 @_register(
@@ -2279,19 +2474,28 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_oracle_sql() -> str:
+    from .pinned_oracles import ANN_IVF_TOP3_SQL
+
+    return ANN_IVF_TOP3_SQL
+
+
+@_register("ann_ivf_top3", _ann_ivf_oracle_sql())
 def ann_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer top-3 (driver k-means on a bounded sample →
-    rows-only; exactness baseline ann_bruteforce_top3 is oracle-checked)."""
+    """IVF coarse-quantizer top-3 (bounded driver k-means, nprobe inverted
+    lists).  Verified against a PINNED regression oracle: the quantizer is
+    deterministic given the fixture (content-hash-sorted sample feeds
+    k-means; checked parallelism-invariant local[4]≡local[32]), so the
+    expected sf0.01 rows are embedded — see pinned_oracles.py.  Recall/
+    exactness ground truth: ann_bruteforce_top3 + tests."""
     from .operators.ann import ivf_topk
 
     emb = _read_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return ivf_topk(emb, queries, 3, n_centroids=8, nprobe=3)
-
-
-QUERIES["ann_ivf_top3"] = ann_ivf_top3
+    out = ivf_topk(emb, queries, 3, n_centroids=8, nprobe=3)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 def _sql_classify_full() -> str:
