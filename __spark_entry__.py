@@ -47,6 +47,10 @@ _PRIORITY = [
     "ann_lsh_top3",
     "embedding_near_dups",
     "mfb_clusters_parts",
+    # new this round
+    "synonym_search_modes",
+    # oracle text changed this round (Meiji boundary) — re-verify
+    "chronology_convert_orders",
 ]
 
 

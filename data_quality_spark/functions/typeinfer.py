@@ -74,6 +74,25 @@ _MONTH = (
     r"(?:January|February|March|April|May|June|July|August|September|"
     r"October|November|December)"
 )
+# Locale month-name families (the reference groups these per-locale in
+# DateRegexesGrouped.txt, `SystemDateTimePatternManager.java:57-107`).
+# Exact-case month literals, like the reference's resource rows; the
+# accented letters are plain literals in both Java regex and RE2.
+MONTHS_FR: tuple[str, ...] = (
+    "janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+    "août", "septembre", "octobre", "novembre", "décembre",
+)
+MONTHS_DE: tuple[str, ...] = (
+    "Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
+    "August", "September", "Oktober", "November", "Dezember",
+)
+MONTHS_ES: tuple[str, ...] = (
+    "enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+    "agosto", "septiembre", "octubre", "noviembre", "diciembre",
+)
+_MON_FR = "(?:" + "|".join(MONTHS_FR) + ")"
+_MON_DE = "(?:" + "|".join(MONTHS_DE) + ")"
+_MON_ES = "(?:" + "|".join(MONTHS_ES) + ")"
 _HMS = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
 _HM = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]"
 
@@ -118,6 +137,11 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("d MMM yyyy", rf"^{_D} {_MON} {_Y4}$"),
     ("MMMM d, yyyy", rf"^{_MONTH} {_D}, {_Y4}$"),
     ("d MMMM yyyy", rf"^{_D} {_MONTH} {_Y4}$"),
+    # locale month-name families (French / German / Spanish)
+    ("d MMMM yyyy (fr)", rf"^{_D} {_MON_FR} {_Y4}$"),
+    ("d MMM yyyy (fr)", rf"^{_D} (?:janv|févr|avr|juil|sept|oct|nov|déc)\. {_Y4}$"),
+    ("d. MMMM yyyy (de)", rf"^{_D}\. {_MON_DE} {_Y4}$"),
+    ("d 'de' MMMM 'de' yyyy (es)", rf"^{_D} de {_MON_ES} de {_Y4}$"),
 )
 
 TIME_REGEXES: tuple[tuple[str, str], ...] = (
@@ -157,10 +181,13 @@ DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
     _grp(r"^[0-9]{1,2}-[0-9]", "dd-MM-yyyy", "M-d-yyyy", "yy-MM-dd", "MM-dd-yy", "d-M-yy"),
     _grp(r"^[0-9]{1,2}-[A-Za-z]", "d-MMM-yyyy", "dd-MMM-yy"),
     _grp(r"^[0-9]{4}\.", "yyyy.MM.dd"),
-    _grp(r"^[0-9]{1,2}\.", "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy", "H.mm"),
+    _grp(r"^[0-9]{1,2}\.", "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy", "H.mm",
+         "d. MMMM yyyy (de)"),
     _grp(r"^[0-9]{8}$", "yyyyMMdd"),
     _grp(r"^[A-Za-z]", "MMM d, yyyy", "MMMM d, yyyy"),
-    _grp(r"^[0-9]{1,2} [A-Za-z]", "d MMM yyyy", "d MMMM yyyy"),
+    # [A-Za-zÀ-ÿ]: French/Spanish months may open with an accented letter (août)
+    _grp(r"^[0-9]{1,2} [A-Za-zÀ-ÿ]", "d MMM yyyy", "d MMMM yyyy",
+         "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)"),
     _grp(r"^[0-9]{1,2}:", "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
          "HH:mm:ss z", "HH:mm:ss.S"),
 )

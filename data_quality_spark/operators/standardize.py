@@ -18,6 +18,9 @@ one node in the reference), so it becomes a **broadcast map**:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -99,6 +102,171 @@ def standardize_record(
         else:
             cols.append(F.col(c))
     return df.select(*cols)
+
+
+# --- Lucene search-mode parity (SynonymIndexSearcher modes) -----------------
+#
+# The reference exposes six search modes over the synonym index
+# (`SynonymIndexSearcher.java:196-229`, query builders :405-490):
+# MATCH_ANY / MATCH_ALL (SHOULD / MUST token clauses over word+synonym
+# token fields), MATCH_PARTIAL (sloppy PhraseQuery, slop=1),
+# MATCH_EXACT (whole-string term on wordterm/synterm), and the _FUZZY
+# variants (per-token FuzzyQuery, maxEdits).  Re-expressed here over the
+# broadcast dictionary with a deterministic score (query-token coverage;
+# Lucene's BM25 rank is index-statistics-dependent and intentionally NOT
+# replicated — hit SETS mirror SynonymIndexSearcherTest, ordering is
+# coverage-then-docid).
+
+SYNONYM_SEARCH_MODES = (
+    "MATCH_ANY",
+    "MATCH_PARTIAL",
+    "MATCH_ALL",
+    "MATCH_EXACT",
+    "MATCH_ANY_FUZZY",
+    "MATCH_ALL_FUZZY",
+)
+
+
+def _an_tokens(s: str) -> list[str]:
+    """StandardAnalyzer-style tokens: lower-cased alphanumeric runs."""
+    import re
+
+    return re.findall(r"[a-z0-9]+", s.lower())
+
+
+def _lev_within(a: str, b: str, k: int) -> bool:
+    """levenshtein(a, b) <= k (banded; k is 0-2 in practice)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def _tok_hit(qt: str, field_tokens: list[str], fuzzy: bool, max_edits: int) -> bool:
+    if qt in field_tokens:
+        return True
+    if fuzzy:
+        return any(_lev_within(qt, ft, max_edits) for ft in field_tokens)
+    return False
+
+
+def _phrase_within_slop(q_tokens: list[str], field_tokens: list[str], slop: int) -> bool:
+    """Ordered embedding of q_tokens into field_tokens with total gap ≤ slop
+    (the sloppy-PhraseQuery semantics the reference's MATCH_PARTIAL uses —
+    reversed tokens don't match at slop 1, one interleaved token does)."""
+    if not q_tokens:
+        return False
+    import math
+
+    best: dict[int, float] = {-1: 0.0}  # last matched field pos → -total_gap
+    for qt in q_tokens:
+        nxt: dict[int, float] = {}
+        for last, neg_gap in best.items():
+            for p, ft in enumerate(field_tokens):
+                if p > last and ft == qt:
+                    g = neg_gap - (p - last - 1 if last >= 0 else 0)
+                    if g > nxt.get(p, -math.inf):
+                        nxt[p] = g
+        best = nxt
+        if not best:
+            return False
+    return max(best.values()) >= -slop
+
+
+def compile_synonym_entries(entries) -> list[tuple[str, list[str], list[tuple[str, list[str]]]]]:
+    """entries: [(word, "syn1|syn2"), ...] (the reference's builder input
+    shape) → [(word_lower, word_tokens, [(syn_lower, syn_tokens), ...])]."""
+    out = []
+    for word, syns in entries:
+        syn_list = [s for s in (syns.split("|") if isinstance(syns, str) else syns) if s]
+        out.append(
+            (
+                word.strip().lower(),
+                _an_tokens(word),
+                [(s.strip().lower(), _an_tokens(s)) for s in syn_list],
+            )
+        )
+    return out
+
+
+def synonym_match_ids(
+    value: str | None,
+    compiled,
+    mode: str = "MATCH_ANY",
+    max_edits: int = 1,
+    slop: int = 1,
+) -> list[int]:
+    """Doc ids matching `value` under `mode`, ordered by (coverage desc,
+    doc id asc).  Pure Python on the broadcast dictionary — unit-testable
+    against SynonymIndexSearcherTest's expected hit sets."""
+    if value is None:
+        return []
+    q = value.strip().lower()
+    if not q:
+        return []
+    q_tokens = _an_tokens(q)
+    fuzzy = mode.endswith("_FUZZY")
+    hits: list[tuple[float, int]] = []
+    for i, (w, wt, syns) in enumerate(compiled):
+        fields = [(w, wt)] + syns
+        score = 0.0
+        if mode == "MATCH_EXACT":
+            if any(q == f for f, _ft in fields):
+                score = 1.0
+        elif mode == "MATCH_PARTIAL":
+            if any(q == f for f, _ft in fields) or any(
+                _phrase_within_slop(q_tokens, ft, slop) for _f, ft in fields
+            ):
+                score = 1.0
+        elif mode in ("MATCH_ANY", "MATCH_ANY_FUZZY"):
+            for _f, ft in fields:
+                n = sum(1 for qt in q_tokens if _tok_hit(qt, ft, fuzzy, max_edits))
+                if q_tokens:
+                    score = max(score, n / len(q_tokens))
+        elif mode in ("MATCH_ALL", "MATCH_ALL_FUZZY"):
+            for _f, ft in fields:
+                if all(_tok_hit(qt, ft, fuzzy, max_edits) for qt in q_tokens):
+                    score = 1.0
+        else:
+            raise ValueError(f"unknown search mode: {mode}")
+        if score > 0:
+            hits.append((score, i))
+    hits.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _s, i in hits]
+
+
+def synonym_search(
+    df: DataFrame,
+    col: str,
+    entries,
+    mode: str = "MATCH_ANY",
+    max_edits: int = 1,
+    slop: int = 1,
+    out_col: str = "match_ids",
+) -> DataFrame:
+    """Distributed search: every row's value → ordered matching doc-id
+    array.  The compiled dictionary rides the UDF closure (broadcast with
+    the task binary — it is index-on-one-node small by the reference's own
+    design); per-batch Arrow transfer, no shuffle, corpus never moves."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    compiled = compile_synonym_entries(entries)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _search(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vals in batches:
+            yield vals.map(
+                lambda v: synonym_match_ids(v, compiled, mode, max_edits, slop)
+            )
+
+    return df.withColumn(out_col, _search(F.col(col)))
 
 
 # --- masking (TextPatternUtil.replaceCharacter analog) ----------------------

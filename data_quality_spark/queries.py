@@ -1951,14 +1951,22 @@ def _datetime_oracle_sql() -> str:
         )
         for fmt, rx in _ti.DATE_REGEXES + _ti.TIME_REGEXES
     )
+    fr = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_FR) + "]"
+    de = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_DE) + "]"
     return f"""
     WITH d AS (
-      SELECT CASE CAST(o_orderkey % 6 AS INTEGER)
+      SELECT CASE CAST(o_orderkey % 8 AS INTEGER)
         WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
         WHEN 1 THEN strftime(o_orderdate, '%-m/%-d/%Y')
         WHEN 2 THEN strftime(o_orderdate, '%d.%m.%Y')
         WHEN 3 THEN strftime(o_orderdate, '%-d-%b-%Y')
         WHEN 4 THEN strftime(o_orderdate, '%d/%m/%y')
+        WHEN 5 THEN CAST(day(o_orderdate) AS VARCHAR) || ' '
+                    || ({fr})[month(o_orderdate)] || ' '
+                    || CAST(year(o_orderdate) AS VARCHAR)
+        WHEN 6 THEN CAST(day(o_orderdate) AS VARCHAR) || '. '
+                    || ({de})[month(o_orderdate)] || ' '
+                    || CAST(year(o_orderdate) AS VARCHAR)
         ELSE printf('%02d:%02d:%02d',
                     CAST(o_orderkey % 24 AS INTEGER),
                     CAST((o_orderkey * 7) % 60 AS INTEGER),
@@ -1973,20 +1981,30 @@ def _datetime_oracle_sql() -> str:
 @_register("datetime_patterns_orders", _datetime_oracle_sql())
 def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-date/time-pattern profiling (DateTimePatternRecognizer +
-    SystemDateTimePatternManager regex table) over a 6-format mixed column:
-    ISO, unpadded/padded slash, dot, English-month-abbrev, 2-digit-year,
-    and HH:mm:ss time values.  Ambiguous values (e.g. 04/03/95) resolve by
-    cascade order identically in both engines."""
+    SystemDateTimePatternManager regex table) over an 8-format mixed
+    column: ISO, unpadded/padded slash, dot, English-month-abbrev,
+    2-digit-year, FRENCH and GERMAN month-name dates (locale families from
+    the reference's DateRegexesGrouped.txt), and HH:mm:ss time values.
+    Ambiguous values (e.g. 04/03/95) resolve by cascade order identically
+    in both engines."""
+    from .functions.typeinfer import MONTHS_DE, MONTHS_FR
     from .operators.profiling import datetime_pattern_frequency
 
     o = _read(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
+    d = F.col("o_orderdate")
+    fr_month = F.element_at(F.array(*[F.lit(m) for m in MONTHS_FR]), F.month(d))
+    de_month = F.element_at(F.array(*[F.lit(m) for m in MONTHS_DE]), F.month(d))
+    day_s = F.dayofmonth(d).cast("string")
+    year_s = F.year(d).cast("string")
     mixed = o.select(
-        F.when(k % 6 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(k % 6 == 1, F.date_format("o_orderdate", "M/d/yyyy"))
-        .when(k % 6 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
-        .when(k % 6 == 3, F.date_format("o_orderdate", "d-MMM-yyyy"))
-        .when(k % 6 == 4, F.date_format("o_orderdate", "dd/MM/yy"))
+        F.when(k % 8 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 8 == 1, F.date_format("o_orderdate", "M/d/yyyy"))
+        .when(k % 8 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .when(k % 8 == 3, F.date_format("o_orderdate", "d-MMM-yyyy"))
+        .when(k % 8 == 4, F.date_format("o_orderdate", "dd/MM/yy"))
+        .when(k % 8 == 5, F.concat(day_s, F.lit(" "), fr_month, F.lit(" "), year_s))
+        .when(k % 8 == 6, F.concat(day_s, F.lit(". "), de_month, F.lit(" "), year_s))
         .otherwise(
             F.format_string(
                 "%02d:%02d:%02d",
@@ -2247,6 +2265,90 @@ def standardize_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         standardize_expr(F.col("n_name"), _NATION_SYNONYMS).alias("n_std"),
     )
+
+
+# Fixture mirroring the reference's SynonymIndexSearcherTest corpus
+# (synonyms4newoptions) and its query strings; expected hit-id lists are
+# computed at import time by the PURE-PYTHON matcher core (independent of
+# the Spark execution under test) and embedded in the oracle.
+_SYN_SEARCH_DOCS = [
+    ("Dulux Trade", "ABC DEF"),
+    ("GHI JKL", "Dulux Trade"),
+    ("Dulux Trade Red Paint 5L", "DEF ABC"),
+    ("Trade", "PPP"),
+    ("Trade Dulux", "PPP"),
+    ("IBM", "International Business Machines|Big Blue"),
+    ("Big Blue", "IBM"),
+    ("ALMOND/WH", "ALMOND/WHITE"),
+    ("The quick brown fox jumps over the lazy dog", ""),
+    ("quick fox", ""),
+    ("quic fax", ""),
+]
+_SYN_SEARCH_QUERIES = [
+    "Dulux Trade", "Trade", "Big Blue", "Business International",
+    "International Business", "ALMOND/WH", "QUICK FOX",
+]
+
+
+def _syn_search_oracle_sql() -> str:
+    from .operators.standardize import compile_synonym_entries, synonym_match_ids
+
+    compiled = compile_synonym_entries(_SYN_SEARCH_DOCS)
+
+    def arms(mode: str) -> str:
+        return " ".join(
+            "WHEN {} THEN '{}'".format(
+                i, ",".join(str(d) for d in synonym_match_ids(q, compiled, mode))
+            )
+            for i, q in enumerate(_SYN_SEARCH_QUERIES)
+        )
+
+    n = len(_SYN_SEARCH_QUERIES)
+    return f"""
+    WITH p AS (
+      SELECT CAST(c_custkey % {n} AS INTEGER) AS idx FROM customer WHERE c_custkey < 700
+    )
+    SELECT idx, CAST(count(*) AS BIGINT) AS cnt,
+      CASE idx {arms("MATCH_ANY")} END AS any_ids,
+      CASE idx {arms("MATCH_ALL")} END AS all_ids,
+      CASE idx {arms("MATCH_PARTIAL")} END AS partial_ids,
+      CASE idx {arms("MATCH_ANY_FUZZY")} END AS any_fuzzy_ids
+    FROM p GROUP BY idx
+    """
+
+
+@_register("synonym_search_modes", _syn_search_oracle_sql())
+def synonym_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene search-mode parity (`SynonymIndexSearcher.java:196-229`
+    MATCH_ANY/ALL/PARTIAL/ANY_FUZZY query builders) over the broadcast
+    synonym dictionary: each constructed query string → ordered matching
+    doc-id list per mode.  Hash-verified against the pure-Python matcher
+    core, whose hit sets mirror SynonymIndexSearcherTest's expected
+    vectors (tests/test_sources_standardize.py)."""
+    from .operators.standardize import synonym_search
+
+    n = len(_SYN_SEARCH_QUERIES)
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 700)
+    idx = (F.col("c_custkey") % n).cast("int")
+    q = F.element_at(F.array(*[F.lit(s) for s in _SYN_SEARCH_QUERIES]), idx + 1)
+    grouped = (
+        cust.select(idx.alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "q", F.element_at(F.array(*[F.lit(s) for s in _SYN_SEARCH_QUERIES]), F.col("idx") + 1)
+        )
+    )
+    out = grouped
+    for mode, col_name in [
+        ("MATCH_ANY", "any_ids"),
+        ("MATCH_ALL", "all_ids"),
+        ("MATCH_PARTIAL", "partial_ids"),
+        ("MATCH_ANY_FUZZY", "any_fuzzy_ids"),
+    ]:
+        out = synonym_search(out, "q", _SYN_SEARCH_DOCS, mode=mode, out_col="_m")
+        out = out.withColumn(col_name, F.array_join(F.col("_m"), ",")).drop("_m")
+    return out.select("idx", "cnt", "any_ids", "all_ids", "partial_ids", "any_fuzzy_ids")
 
 
 _FIRSTNAME_SYNONYMS = {

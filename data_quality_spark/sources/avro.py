@@ -11,11 +11,16 @@ the reference's `AvroUtils.streamAvroFile` → per-leaf analyzers
 java:100-122`).
 
 Supported: null + deflate codecs; records (arbitrarily nested), unions,
-arrays, enums, all primitives.  Not supported (documented): maps, fixed,
-custom codecs (snappy/zstd), and splitting a single giant file — the
-parallelism unit is the FILE, which is the natural unit for web-corpus
-Avro dumps (many ~100 MB-1 GB container files); a lone multi-TB file
-would need block-level splitting at the sync markers.
+arrays, MAPS, enums, FIXED, all primitives, and NAMED-TYPE REFERENCES
+(a field typed by the name of a previously-defined record/enum/fixed,
+incl. recursive schemas — resolved by `resolve_names`).  Large single
+files split at sync markers (`read_avro_split`) so one giant OCF fans
+out across tasks instead of serializing on one.  Not supported
+(documented): snappy/zstd codecs (no codec libs pinned here — raise
+clearly), Avro logical types (surface as their base type).  The split
+reader opens paths with plain Python IO, so it needs task-readable
+storage (local/NFS/fuse mounts); the per-file `read_avro` path uses the
+binaryFile datasource and works on any Hadoop-compatible FS.
 """
 
 from __future__ import annotations
@@ -84,6 +89,47 @@ def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
 # Datum encoding/decoding against a (parsed-JSON) Avro schema
 # ---------------------------------------------------------------------------
 
+_PRIMITIVES = frozenset(
+    ["null", "boolean", "int", "long", "float", "double", "bytes", "string"]
+)
+
+
+def resolve_names(schema, names: dict | None = None):
+    """Resolve named-type references IN PLACE: an Avro schema may type a
+    field by the bare/fullname of a previously-defined record/enum/fixed
+    (spec §Names).  Definitions appear before use in document order, so a
+    single pass substituting the string reference with the (shared) dict
+    object suffices; recursive schemas become cyclic object graphs, which
+    the data-driven decoder walks safely."""
+    if names is None:
+        names = {}
+    if isinstance(schema, list):
+        return [resolve_names(b, names) for b in schema]
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed"):
+            name = schema.get("name")
+            if name:
+                names[name] = schema
+                ns = schema.get("namespace")
+                if ns:
+                    names[f"{ns}.{name}"] = schema
+        if t == "record":
+            for field in schema["fields"]:
+                field["type"] = resolve_names(field["type"], names)
+        elif t == "array":
+            schema["items"] = resolve_names(schema["items"], names)
+        elif t == "map":
+            schema["values"] = resolve_names(schema["values"], names)
+        elif isinstance(t, (dict, list)):
+            schema["type"] = resolve_names(t, names)
+        return schema
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"unresolved Avro named-type reference: {schema!r}")
+    return schema
+
 
 def _decode_datum(schema, buf: bytes, pos: int):
     if isinstance(schema, list):  # union: long index then value
@@ -109,9 +155,27 @@ def _decode_datum(schema, buf: bytes, pos: int):
                     v, pos = _decode_datum(schema["items"], buf, pos)
                     items.append(v)
             return items, pos
+        if t == "map":
+            out = {}
+            while True:
+                count, pos = _read_long(buf, pos)
+                if count == 0:
+                    break
+                if count < 0:  # negative count: byte size follows
+                    _size, pos = _read_long(buf, pos)
+                    count = -count
+                for _ in range(count):
+                    kb, pos = _read_bytes(buf, pos)
+                    out[kb.decode("utf-8")], pos = _decode_datum(
+                        schema["values"], buf, pos
+                    )
+            return out, pos
         if t == "enum":
             idx, pos = _read_long(buf, pos)
             return schema["symbols"][idx], pos
+        if t == "fixed":
+            n = schema["size"]
+            return buf[pos : pos + n].hex(), pos + n
         return _decode_datum(t, buf, pos)  # e.g. {"type": "string"}
     # primitive name
     if schema == "null":
@@ -159,8 +223,22 @@ def _encode_datum(schema, value, out: io.BytesIO) -> None:
                     _encode_datum(schema["items"], v, out)
             _write_long(out, 0)
             return
+        if t == "map":
+            if value:
+                _write_long(out, len(value))
+                for k, v in value.items():
+                    _write_bytes(out, k.encode("utf-8"))
+                    _encode_datum(schema["values"], v, out)
+            _write_long(out, 0)
+            return
         if t == "enum":
             _write_long(out, schema["symbols"].index(value))
+            return
+        if t == "fixed":
+            raw = bytes.fromhex(value) if isinstance(value, str) else bytes(value)
+            if len(raw) != schema["size"]:
+                raise ValueError(f"fixed size mismatch: {len(raw)} != {schema['size']}")
+            out.write(raw)
             return
         _encode_datum(t, value, out)
         return
@@ -212,7 +290,7 @@ def decode_container(payload: bytes) -> tuple[dict, list]:
             meta[k.decode("utf-8")] = v
     sync = payload[pos : pos + 16]
     pos += 16
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    schema = resolve_names(json.loads(meta["avro.schema"].decode("utf-8")))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     records = []
     while pos < len(payload):
@@ -235,29 +313,45 @@ def decode_container(payload: bytes) -> tuple[dict, list]:
 
 
 def write_container(
-    path: str, schema: dict, records: list, codec: str = "null", sync: bytes = b"0123456789abcdef"
+    path: str,
+    schema: dict,
+    records: list,
+    codec: str = "null",
+    sync: bytes = b"0123456789abcdef",
+    records_per_block: int | None = None,
 ) -> None:
-    """Minimal OCF writer (fixtures/tests; single block)."""
+    """Minimal OCF writer (fixtures/tests).  `records_per_block` splits the
+    records across multiple sync-delimited blocks — the layout the split
+    reader exercises."""
+    # the header keeps the ORIGINAL schema JSON (references intact, valid
+    # Avro); encoding uses a resolved deep copy so named refs round-trip
+    schema_json = json.dumps(schema)
+    schema = resolve_names(json.loads(schema_json))
     out = io.BytesIO()
     out.write(MAGIC)
-    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
     _write_long(out, len(meta))
     for k, v in meta.items():
         _write_bytes(out, k.encode())
         _write_bytes(out, v)
     _write_long(out, 0)
     out.write(sync)
-    body = io.BytesIO()
-    for rec in records:
-        _encode_datum(schema, rec, body)
-    block = body.getvalue()
-    if codec == "deflate":
-        co = zlib.compressobj(9, zlib.DEFLATED, -15)
-        block = co.compress(block) + co.flush()
-    _write_long(out, len(records))
-    _write_long(out, len(block))
-    out.write(block)
-    out.write(sync)
+    step = records_per_block or max(len(records), 1)
+    for i in range(0, max(len(records), 1), step):
+        chunk = records[i : i + step]
+        if not chunk:
+            break
+        body = io.BytesIO()
+        for rec in chunk:
+            _encode_datum(schema, rec, body)
+        block = body.getvalue()
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            block = co.compress(block) + co.flush()
+        _write_long(out, len(chunk))
+        _write_long(out, len(block))
+        out.write(block)
+        out.write(sync)
     with open(path, "wb") as f:
         f.write(out.getvalue())
 
@@ -281,28 +375,39 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
 
 def avro_schema_to_ddl(schema: dict) -> str:
-    """Avro record schema → Spark DDL (for from_json on the `json` col)."""
+    """Avro record schema → Spark DDL (for from_json on the `json` col).
+    Named references resolve to their definition; a RECURSIVE reference
+    maps to `string` (Spark structs cannot be cyclic — the subtree stays
+    raw JSON, still analyzable by the dotted-path JSON quality ops)."""
+    schema = resolve_names(json.loads(json.dumps(schema)))
 
-    def typ(s) -> str:
+    def typ(s, stack: tuple) -> str:
         if isinstance(s, list):
             non_null = [b for b in s if b != "null"]
-            return typ(non_null[0]) if non_null else "string"
+            return typ(non_null[0], stack) if non_null else "string"
         if isinstance(s, dict):
             t = s["type"]
             if t == "record":
-                inner = ", ".join(f"`{f['name']}`: {typ(f['type'])}" for f in s["fields"])
+                if id(s) in stack:
+                    return "string"  # recursion: keep subtree as raw JSON
+                st = stack + (id(s),)
+                inner = ", ".join(
+                    f"`{f['name']}`: {typ(f['type'], st)}" for f in s["fields"]
+                )
                 return f"struct<{inner}>"
             if t == "array":
-                return f"array<{typ(s['items'])}>"
-            if t == "enum":
+                return f"array<{typ(s['items'], stack)}>"
+            if t == "map":
+                return f"map<string, {typ(s['values'], stack)}>"
+            if t in ("enum", "fixed"):
                 return "string"
-            return typ(t)
+            return typ(t, stack)
         return {
             "null": "string", "boolean": "boolean", "int": "int", "long": "bigint",
             "float": "float", "double": "double", "bytes": "string", "string": "string",
         }[s]
 
-    inner = ", ".join(f"`{f['name']}` {typ(f['type'])}" for f in schema["fields"])
+    inner = ", ".join(f"`{f['name']}` {typ(f['type'], (id(schema),))}" for f in schema["fields"])
     return inner
 
 
@@ -324,6 +429,132 @@ def read_schema(payload: bytes) -> dict:
             if k == b"avro.schema":
                 return json.loads(v.decode("utf-8"))
     raise ValueError("no avro.schema in container metadata")
+
+
+def _parse_header(f) -> tuple[dict, str, bytes, int]:
+    """Read (schema, codec, sync, header_end_offset) from an open file."""
+    head = f.read(1 << 20)  # OCF headers are small; 1 MB is generous
+    if head[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        count, pos = _read_long(head, pos)
+        if count == 0:
+            break
+        if count < 0:
+            _size, pos = _read_long(head, pos)
+            count = -count
+        for _ in range(count):
+            k, pos = _read_bytes(head, pos)
+            v, pos = _read_bytes(head, pos)
+            meta[k.decode("utf-8")] = v
+    sync = head[pos : pos + 16]
+    pos += 16
+    schema = resolve_names(json.loads(meta["avro.schema"].decode("utf-8")))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync, pos
+
+
+def read_avro_split(
+    spark: SparkSession, path: str, split_bytes: int = 128 << 20
+) -> DataFrame:
+    """Split-parallel OCF ingestion for LARGE single files: byte ranges are
+    planned on the driver, and each task seeks into the file, scans forward
+    to the next 16-byte sync marker, and decodes exactly the blocks whose
+    first byte lies inside its range (the classic input-split contract —
+    every block is decoded by exactly one task, none twice).  This removes
+    the one-task-per-file ceiling of `read_avro` for multi-GB containers.
+
+    Tasks open paths with plain Python IO — storage must be task-readable
+    (local/NFS/fuse).  Output: (path, json) rows, same as `read_avro`.
+    """
+    import glob as _glob
+    import os
+
+    p = path
+    if os.path.isdir(p):
+        candidates = sorted(
+            f for f in _glob.glob(os.path.join(p, "**", "*"), recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+        )
+    else:
+        candidates = sorted(f for f in _glob.glob(p) if os.path.isfile(f))
+    if not candidates:
+        raise FileNotFoundError(path)
+    ranges = []
+    for fp in candidates:
+        size = os.path.getsize(fp)
+        with open(fp, "rb") as f:
+            _schema, _codec, _sync, header_end = _parse_header(f)
+        start = header_end
+        while start < size:
+            end = min(start + split_bytes, size)
+            ranges.append((fp, start, end, header_end))
+            start = end
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long, header_end long"
+    ).repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fp, start, end, header_end in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["header_end"]
+            ):
+                start, end, header_end = int(start), int(end), int(header_end)
+                limit = end - start  # a block is OURS iff it starts before this
+                with open(fp, "rb") as f:
+                    schema, codec, sync, _ = _parse_header(f)
+                    f.seek(start)
+                    buf = bytearray(f.read(limit))
+
+                    def ensure(n: int) -> bool:
+                        # extend buf from the file until ≥ n bytes (the last
+                        # owned block may extend past `end`); bounded by the
+                        # block actually being decoded, never reads to EOF
+                        while len(buf) < n:
+                            chunk = f.read(max(n - len(buf), 1 << 20))
+                            if not chunk:
+                                return False
+                            buf.extend(chunk)
+                        return True
+
+                    # first block boundary at/after `start`: the header end
+                    # IS a boundary; later boundaries follow a sync marker
+                    if start == header_end:
+                        pos = 0
+                    else:
+                        hit = bytes(buf).find(sync)
+                        if hit < 0 or hit + 16 >= limit:
+                            continue  # no owned block in this range
+                        pos = hit + 16
+                    rows = []
+                    while pos < limit:
+                        if len(buf) <= pos and not ensure(pos + 1):
+                            break  # clean EOF at a block boundary
+                        ensure(pos + 20)  # best-effort headroom for varints
+                        n_recs, p2 = _read_long(buf, pos)
+                        n_bytes, p2 = _read_long(buf, p2)
+                        if not ensure(p2 + n_bytes + 16):
+                            raise ValueError("truncated Avro block")
+                        block = bytes(buf[p2 : p2 + n_bytes])
+                        p2 += n_bytes
+                        if bytes(buf[p2 : p2 + 16]) != sync:
+                            raise ValueError("sync marker mismatch (corrupt block)")
+                        p2 += 16
+                        if codec == "deflate":
+                            block = zlib.decompress(block, -15)
+                        elif codec != "null":
+                            raise ValueError(f"unsupported codec: {codec}")
+                        bpos = 0
+                        for _ in range(n_recs):
+                            rec, bpos = _decode_datum(schema, block, bpos)
+                            rows.append(json.dumps(rec, ensure_ascii=False))
+                        pos = p2
+                if rows:
+                    yield pd.DataFrame({"path": fp, "json": rows})
+
+    return rdf.mapInPandas(gen, schema="path string, json string")
 
 
 def read_avro_typed(spark: SparkSession, path: str) -> DataFrame:

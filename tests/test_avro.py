@@ -110,3 +110,102 @@ def test_avro_to_nested_quality(spark, tmp_path):
     # construction: i%4==0 -> "" (10 of 40), else str(3i) integer-valid
     assert valid["v"] == 30
     assert valid["e"] == 10
+
+
+MAP_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "props", "type": {"type": "map", "values": ["null", "string"]}},
+        {"name": "scores", "type": {"type": "map", "values": "double"}},
+        {"name": "digest", "type": {"type": "fixed", "name": "Md5", "size": 4}},
+    ],
+}
+
+
+def test_map_and_fixed_roundtrip(tmp_path):
+    recs = [
+        {
+            "id": i,
+            "props": {f"k{j}": (None if j % 3 == 0 else f"v{i}{j}") for j in range(i % 4)},
+            "scores": {"a": i / 2.0, "b": -i / 4.0},
+            "digest": (b"%04d" % i).hex(),
+        }
+        for i in range(30)
+    ]
+    p = str(tmp_path / "m.avro")
+    av.write_container(p, MAP_SCHEMA, recs, codec="deflate")
+    _schema, got = av.decode_container(open(p, "rb").read())
+    assert got == recs
+
+
+def test_named_type_reference_roundtrip(tmp_path):
+    """A field typed by the NAME of a previously-defined record (ADVICE
+    round-2 finding: real-world schemas reuse named types)."""
+    schema = {
+        "type": "record",
+        "name": "Pair",
+        "fields": [
+            {
+                "name": "left",
+                "type": {
+                    "type": "record",
+                    "name": "Point",
+                    "fields": [
+                        {"name": "x", "type": "double"},
+                        {"name": "y", "type": "double"},
+                    ],
+                },
+            },
+            {"name": "right", "type": "Point"},  # named reference
+            {"name": "tag", "type": ["null", "Point"]},  # ref inside a union
+        ],
+    }
+    recs = [
+        {
+            "left": {"x": float(i), "y": 1.5},
+            "right": {"x": -2.0, "y": float(i)},
+            "tag": None if i % 2 else {"x": 0.0, "y": 0.25},
+        }
+        for i in range(10)
+    ]
+    p = str(tmp_path / "n.avro")
+    av.write_container(p, schema, recs)
+    _s, got = av.decode_container(open(p, "rb").read())
+    assert got == recs
+    ddl = av.avro_schema_to_ddl(schema)
+    assert ddl.count("struct<`x`: double, `y`: double>") == 3
+
+
+def test_unresolved_named_reference_raises():
+    with pytest.raises(ValueError, match="unresolved Avro named-type"):
+        av.resolve_names(
+            {"type": "record", "name": "R",
+             "fields": [{"name": "a", "type": "NoSuchType"}]}
+        )
+
+
+def test_read_avro_split(spark, tmp_path):
+    """One big multi-block file → several byte-range tasks; every record
+    decoded exactly once (the input-split contract at the sync markers)."""
+    p = str(tmp_path / "big.avro")
+    recs = _records(400)
+    av.write_container(p, SCHEMA, recs, codec="deflate", records_per_block=25)
+    size = __import__("os").path.getsize(p)
+    split = max(size // 7, 64)  # force ~7 ranges
+    out = av.read_avro_split(spark, p, split_bytes=split)
+    got = sorted(json.loads(r["json"])["id"] for r in out.collect())
+    assert got == list(range(400))
+    # whole-file and split paths agree byte-for-byte on the JSON rows
+    whole = sorted(r["json"] for r in av.read_avro(spark, p).collect())
+    split_rows = sorted(r["json"] for r in out.collect())
+    assert whole == split_rows
+
+
+def test_read_avro_split_null_codec_single_block(spark, tmp_path):
+    p = str(tmp_path / "one.avro")
+    av.write_container(p, SCHEMA, _records(10), codec="null")
+    out = av.read_avro_split(spark, p, split_bytes=50)  # ranges smaller than the block
+    got = sorted(json.loads(r["json"])["id"] for r in out.collect())
+    assert got == list(range(10))

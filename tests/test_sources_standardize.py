@@ -88,3 +88,117 @@ def test_anyorder_weight(spark):
     ).collect()[0]
     assert r["w"] == 1.0   # same tokens, any order → exact match
     assert r["lw"] == 1.0  # sorted lower-cased forms identical
+
+
+# --- Lucene search-mode parity (SynonymIndexSearcher modes) -----------------
+# Fixture + expected hit sets mirror the reference's
+# SynonymIndexSearcherTest.synonyms4newoptions / ExpectResults4* tables
+# (`standardization/index/SynonymIndexSearcherTest.java:393-511`).
+# Hit SETS are asserted (Lucene's BM25 rank order is index-statistics
+# dependent and not replicated; our order is coverage-then-docid).
+
+SYN_DOCS = [
+    ("Dulux Trade", "ABC DEF"),
+    ("GHI JKL", "Dulux Trade"),
+    ("Dulux Trade Red Paint 5L", "DEF ABC"),
+    ("Trade", "PPP"),
+    ("Trade Dulux", "PPP"),
+    ("IBM", "International Business Machines|Big Blue"),
+    ("Big Blue", "IBM"),
+    ("ALMOND/WH", "ALMOND/WHITE"),
+    ("The quick brown fox jumps over the lazy dog", ""),
+    ("The quick brown fox", ""),
+    ("The quick brown lazy fox", ""),
+    ("quick fox", ""),
+    ("quic fax", ""),
+    ("quick", ""),
+]
+
+EXPECTED = {
+    "MATCH_ANY": {
+        "Dulux Trade": {0, 1, 2, 4, 3},
+        "Trade": {3, 0, 2, 4, 1},
+        "Big Blue": {6, 5},
+        "Business International": {5},
+        "International Business": {5},
+        "ALMOND/WH": {7},
+        "QUICK FOX": {11, 8, 9, 10, 13},
+    },
+    "MATCH_PARTIAL": {
+        "Dulux Trade": {0, 1, 2},
+        "Trade": {3, 0, 2, 4, 1},
+        "Big Blue": {6, 5},
+        "Business International": set(),
+        "International Business": {5},
+        "ALMOND/WH": {7},
+        "QUICK FOX": {11, 8, 9},
+    },
+    "MATCH_ALL": {
+        "Dulux Trade": {0, 1, 2, 4},
+        "Trade": {3, 0, 2, 4, 1},
+        "Big Blue": {6, 5},
+        "Business International": {5},
+        "International Business": {5},
+        "ALMOND/WH": {7},
+        "QUICK FOX": {11, 8, 9, 10},
+    },
+    "MATCH_EXACT": {
+        "Dulux Trade": {0, 1},
+        "Trade": {3},
+        "Big Blue": {6, 5},
+        "Business International": set(),
+        "International Business": set(),
+        "ALMOND/WH": {7},
+        "QUICK FOX": {11},
+    },
+    "MATCH_ANY_FUZZY": {
+        "Dulux Trade": {0, 1, 2, 4, 3},
+        "Trade": {3, 0, 2, 4, 1},
+        "Big Blue": {6, 5},
+        "Business International": {5},
+        "International Business": {5},
+        "ALMOND/WH": {7},
+        "QUICK FOX": {11, 8, 9, 10, 12, 13},
+    },
+    "MATCH_ALL_FUZZY": {
+        "Dulux Trade": {0, 1, 2, 4},
+        "Trade": {3, 0, 2, 4, 1},
+        "Big Blue": {6, 5},
+        "Business International": {5},
+        "International Business": {5},
+        "ALMOND/WH": {7},
+        "QUICK FOX": {11, 8, 9, 10, 12},
+    },
+}
+
+
+def test_synonym_search_modes_mirror_reference_vectors():
+    from data_quality_spark.operators.standardize import (
+        compile_synonym_entries,
+        synonym_match_ids,
+    )
+
+    compiled = compile_synonym_entries(SYN_DOCS)
+    for mode, cases in EXPECTED.items():
+        for query, want in cases.items():
+            got = set(synonym_match_ids(query, compiled, mode, max_edits=1, slop=1))
+            assert got == want, f"{mode} {query!r}: got {got}, want {want}"
+
+
+def test_synonym_search_ordering_and_distributed(spark):
+    from data_quality_spark.operators.standardize import synonym_match_ids, synonym_search
+    from data_quality_spark.operators.standardize import compile_synonym_entries
+
+    compiled = compile_synonym_entries(SYN_DOCS)
+    # full-coverage docs rank before partial-coverage ones, ties by doc id
+    assert synonym_match_ids("Dulux Trade", compiled, "MATCH_ANY")[:4] == [0, 1, 2, 4]
+
+    df = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(["Dulux Trade", "QUICK FOX", "", None, "zzz"])],
+        "id long, q string",
+    )
+    out = synonym_search(df, "q", SYN_DOCS, mode="MATCH_ALL")
+    rows = {r["id"]: r["match_ids"] for r in out.collect()}
+    assert set(rows[0]) == {0, 1, 2, 4}
+    assert set(rows[1]) == {11, 8, 9, 10}
+    assert rows[2] == [] and rows[3] == [] and rows[4] == []
