@@ -69,6 +69,12 @@ HEADLINE = [
     "qgram_weights_parts",
     "scrub_docs",
     "japanese_normalize_vocab",
+    # round 3 additions
+    "synonym_search_modes",
+    "mask_customer_names",
+    "media_features",
+    "ann_ivf_top3",
+    "sessionize_events",
 ]
 
 

@@ -202,6 +202,39 @@ def lsh_probe_keys_expr(dots: list[Column], probes: int) -> Column:
     return F.concat(F.array(base), probe_keys)
 
 
+def add_lsh_key_foldexact(
+    df: DataFrame, vec_col: str, planes, out_col: str = "lsh_key"
+) -> DataFrame:
+    """Corpus-side portable keys, FAST path: a numpy Arrow UDF that
+    accumulates the plane dots with an explicit per-dimension loop —
+    `acc = acc + m[:, i] * plane[p][i]` — i.e. the SAME left-fold of
+    float64 IEEE adds as `lsh_plane_dots_expr` and DuckDB's list_sum, so
+    keys are bit-identical to the oracle, but vectorized across rows
+    (the interpreted Catalyst fold costs ~1µs/element; this is ~100×)."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    pl = [np.asarray(row, dtype="float64") for row in planes]
+    nplanes = len(pl)
+
+    @F.pandas_udf(LongType())
+    def _key(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            m = np.asarray(vecs.tolist(), dtype="float64")  # (B, dim)
+            key = np.zeros(m.shape[0], dtype="int64")
+            for p in range(nplanes):
+                acc = np.zeros(m.shape[0], dtype="float64")
+                row = pl[p]
+                for i in range(m.shape[1]):
+                    # sequential fold per row (vectorized across rows):
+                    # bit-identical to ((0+t0)+t1)+... in any engine
+                    acc = acc + m[:, i] * row[i]
+                key |= (acc > 0).astype("int64") << p
+            yield pd.Series(key)
+
+    return df.withColumn(out_col, _key(F.col(vec_col)))
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -233,9 +266,10 @@ def lsh_topk(
     )
     if portable:
         planes = _planes(dim, num_planes, seed)
-        v = vectors.withColumn(
-            "lsh_key", lsh_base_key_expr(lsh_plane_dots_expr(F.col(vec_col), planes))
-        )
+        # corpus side: fold-exact numpy keys (bit-identical, vectorized);
+        # query side is tiny — the expression fold is fine and also carries
+        # the margins for multi-probe
+        v = add_lsh_key_foldexact(vectors, vec_col, planes)
         q = qbase.withColumn(
             "lsh_key",
             F.explode(
@@ -394,10 +428,7 @@ def embedding_dedup_candidates(
     Output: (id_a, id_b, cosine).  `portable=True` uses the native
     sequential-fold key expressions (SQL-oracle-replayable)."""
     if portable:
-        planes = _planes(dim, num_planes, seed)
-        keyed = vectors.withColumn(
-            "lsh_key", lsh_base_key_expr(lsh_plane_dots_expr(F.col(vec_col), planes))
-        )
+        keyed = add_lsh_key_foldexact(vectors, vec_col, _planes(dim, num_planes, seed))
     else:
         keyed = add_lsh_key(vectors, vec_col, dim, num_planes, seed)
     v = keyed.select(
