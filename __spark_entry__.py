@@ -49,6 +49,7 @@ _PRIORITY = [
     "mfb_clusters_parts",
     # new this round
     "synonym_search_modes",
+    "phone_metadata_customers",
     # oracle text changed this round (Meiji boundary) — re-verify
     "chronology_convert_orders",
 ]

@@ -120,6 +120,9 @@ def main() -> None:
             cnt = force(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop any persisted intermediates (e.g. the MinHash signature
+        # table) so one query's cache does not skew the next one's timing
+        spark.catalog.clearCache()
         if name == "quality_pipeline_docs":
             n_docs = cnt
 

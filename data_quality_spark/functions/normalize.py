@@ -144,6 +144,44 @@ _JAPANESE_ERAS = (
 )
 
 
+def iso_to_hijri_tabular(c: Column) -> Column:
+    """ISO date → TABULAR Islamic date 'yyyy-MM-dd AH' (civil epoch,
+    the public arithmetic a.k.a. Kuwaiti algorithm — pure integer math on
+    the Julian day number, no tables).
+
+    CAVEAT (the reason the reference's Hijrah path was an exclusion): the
+    reference uses java.time HijrahChronology = the Umm al-Qura lunar
+    tables of Saudi Arabia; the tabular calendar deviates from it by ±1-2
+    days around month boundaries.  This is the documented arithmetic
+    approximation, not Umm al-Qura parity
+    (`converters/DateCalendarConverter.java:32-39`)."""
+    jd = julian_day(c)
+    d1 = jd - F.lit(1948440) + F.lit(10632)
+    n = F.floor((d1 - 1) / F.lit(10631))
+    d2 = d1 - F.lit(10631) * n + F.lit(354)
+    j = (
+        F.floor((F.lit(10985) - d2) / F.lit(5316)) * F.floor((F.lit(50) * d2) / F.lit(17719))
+        + F.floor(d2 / F.lit(5670)) * F.floor((F.lit(43) * d2) / F.lit(15238))
+    )
+    d3 = (
+        d2
+        - F.floor((F.lit(30) - j) / F.lit(15)) * F.floor((F.lit(17719) * j) / F.lit(50))
+        - F.floor(j / F.lit(16)) * F.floor((F.lit(15238) * j) / F.lit(43))
+        + F.lit(29)
+    )
+    month = F.floor((F.lit(24) * d3) / F.lit(709))
+    day = d3 - F.floor((F.lit(709) * month) / F.lit(24))
+    year = F.lit(30) * n + j - F.lit(30)
+    return F.concat(
+        F.lpad(year.cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(month.cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(day.cast("string"), 2, "0"),
+        F.lit(" AH"),
+    )
+
+
 def iso_to_minguo(c: Column) -> Column:
     """ISO date → Minguo (ROC) 'yyyy-MM-dd' string: year − 1911."""
     d = F.to_date(c)

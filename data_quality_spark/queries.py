@@ -1751,9 +1751,139 @@ def phone_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Phone-metadata fixture: fixed vocabulary covering mapped NANP area codes,
+# the toll-free/premium service classes, a valid-but-unmapped NANP code,
+# internationals from the country-code table, and an invalid value.
+_PHONE_VOCAB = [
+    "(212) 555-0199",      # New York (mapped)
+    "+1 415-555-0000",     # San Francisco (mapped, +1 form)
+    "312.555.0123",        # Chicago (dot separators)
+    "(808) 555-7788",      # Hawaii
+    "907-555-2200",        # Alaska
+    "(800) 555-1234",      # TOLL_FREE
+    "833 555 0111",        # TOLL_FREE (newer 8xx)
+    "(900) 555-9999",      # PREMIUM_RATE
+    "(507) 555-4321",      # valid NANP, not in the curated table → fallback
+    "+44 20 7946 0958",    # United Kingdom
+    "+81 3 1234 5678",     # Japan
+    "12345",               # invalid
+]
+
+
+def _phone_metadata_expected(v: str) -> tuple[str | None, str | None, str | None, int | None]:
+    """Pure-Python re-derivation of (type, geocode, timezone, country_code)
+    from the public tables — the oracle's ground truth, independent of the
+    Spark expressions under test."""
+    import re
+
+    from .functions import phone_metadata as pm
+
+    digits = re.sub(r"[^0-9]", "", v)
+    nanp = re.match(
+        r"^\+?1?[-. (]*([2-9][0-9]{2})[-. )]*([0-9]{3})[-. ]*([0-9]{4})$", v
+    )
+    if nanp:
+        area = int(nanp.group(1))
+        if area in pm.NANP_TOLL_FREE:
+            ty = "TOLL_FREE"
+        elif area in pm.NANP_PREMIUM:
+            ty = "PREMIUM_RATE"
+        else:
+            ty = "FIXED_LINE_OR_MOBILE"
+        place, tz = pm.NANP_AREA_CODES.get(
+            area, ("United States/Canada", "America/New_York")
+        )
+        return ty, place, tz, 1
+    if v.strip().startswith("+"):
+        for width in (1, 2, 3):
+            cc = int(digits[:width]) if len(digits) >= width else None
+            if cc in pm.COUNTRY_CODES:
+                _r, name, tz = pm.COUNTRY_CODES[cc]
+                return "UNKNOWN", name, tz, cc
+    return None, None, None, None
+
+
+def _phone_metadata_oracle_sql() -> str:
+    def lit(x):
+        # sentinels, not NULLs: the row-sort in the value compare cannot
+        # order mixed None/typed tuples
+        if x is None:
+            return "'NONE'"
+        return "'" + str(x).replace("'", "''") + "'"
+
+    exp = [_phone_metadata_expected(v) for v in _PHONE_VOCAB]
+
+    def arms(j):
+        return " ".join(f"WHEN {i} THEN {lit(e[j])}" for i, e in enumerate(exp))
+
+    n = len(_PHONE_VOCAB)
+    return f"""
+    WITH p AS (
+      SELECT CAST(c_custkey % {n} AS INTEGER) AS idx FROM customer WHERE c_custkey < 840
+    )
+    SELECT idx, CAST(count(*) AS BIGINT) AS cnt,
+      CASE idx {arms(0)} END AS num_type,
+      CASE idx {arms(1)} END AS geocode,
+      CASE idx {arms(2)} END AS tz,
+      CASE idx {arms(3)} END AS country_code
+    FROM p GROUP BY idx
+    """
+
+
+@_register("phone_metadata_customers", _phone_metadata_oracle_sql())
+def phone_metadata_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phone metadata functions (`PhoneNumberHandlerBase.java:216-380`
+    getPhoneNumberType / getGeocoderDescriptionForNumber / timezone mapper /
+    getCountryCodeForPhoneNumber) over a fixed phone vocabulary.
+    Hash-verified: the oracle re-derives every value in pure Python from
+    the public NANPA/ITU tables, independently of the Spark expressions.
+    (Carrier lookup is null-without-libphonenumber by design — NANP
+    numbers carry no carrier data; see phone_metadata.phone_carrier_name.)"""
+    from .functions import phone_metadata as pm
+
+    n = len(_PHONE_VOCAB)
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 840)
+    idx = (F.col("c_custkey") % n).cast("int")
+    phone = F.element_at(F.array(*[F.lit(v) for v in _PHONE_VOCAB]), idx + 1)
+    grouped = (
+        cust.select(idx.alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    p = F.element_at(F.array(*[F.lit(v) for v in _PHONE_VOCAB]), F.col("idx") + 1)
+    none = F.lit("NONE")
+    return grouped.select(
+        "idx",
+        "cnt",
+        F.coalesce(pm.phone_number_type(p), none).alias("num_type"),
+        F.coalesce(pm.phone_geocoder_description(p), none).alias("geocode"),
+        F.coalesce(pm.phone_timezones(p), none).alias("tz"),
+        F.coalesce(pm.phone_country_code(p).cast("string"), none).alias("country_code"),
+    )
+
+
 @_register(
     "chronology_convert_orders",
     """
+    WITH h AS (
+      SELECT o_orderkey, o_orderdate,
+        (CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         + 2440588 + 10632 - 1948440) AS d1
+      FROM orders WHERE o_orderkey <= 1000
+    ), h2 AS (
+      SELECT *, (d1 - 1) // 10631 AS n,
+             d1 - 10631 * ((d1 - 1) // 10631) + 354 AS d2 FROM h
+    ), h3 AS (
+      SELECT *, ((10985 - d2) // 5316) * ((50 * d2) // 17719)
+              + (d2 // 5670) * ((43 * d2) // 15238) AS j FROM h2
+    ), h4 AS (
+      SELECT *, d2 - ((30 - j) // 15) * ((17719 * j) // 50)
+              - (j // 16) * ((15238 * j) // 43) + 29 AS d3 FROM h3
+    ), h5 AS (
+      SELECT *, (24 * d3) // 709 AS hm FROM h4
+    ), h6 AS (
+      SELECT *, d3 - (709 * hm) // 24 AS hd, 30 * n + j - 30 AS hy FROM h5
+    )
     SELECT o_orderkey,
       lpad(CAST(year(o_orderdate) - 1911 AS VARCHAR), 4, '0')
         || strftime(o_orderdate, '-%m-%d') AS minguo,
@@ -1773,17 +1903,26 @@ def phone_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           THEN 'Meiji ' || CAST(year(o_orderdate) - 1867 AS VARCHAR) || strftime(o_orderdate, '-%m-%d')
         -- pre-Meiji: ISO passthrough, mirrored by the engine fallback
         ELSE strftime(o_orderdate, '%Y-%m-%d')
-      END AS japanese
-    FROM orders WHERE o_orderkey <= 1000
+      END AS japanese,
+      lpad(CAST(hy AS VARCHAR), 4, '0') || '-' || lpad(CAST(hm AS VARCHAR), 2, '0')
+        || '-' || lpad(CAST(hd AS VARCHAR), 2, '0') || ' AH' AS hijri_tabular
+    FROM h6
     """,
 )
 def chronology_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DateCalendarConverter chronology path (`converters/
     DateCalendarConverter.java:32-39`): ISO → Minguo / ThaiBuddhist /
-    Japanese-era strings, all exact Gregorian arithmetic recomputed
-    independently by the oracle.  (Hijrah excluded: needs Umm al-Qura
-    tables — documented.)"""
-    from .functions.normalize import iso_to_japanese, iso_to_minguo, iso_to_thai_buddhist
+    Japanese-era / tabular-Islamic strings, all exact arithmetic
+    recomputed independently by the oracle.  Hijrah is the TABULAR
+    (Kuwaiti-algorithm) approximation — the reference's Umm al-Qura
+    tables deviate ±1-2 days; documented at
+    `functions/normalize.py:iso_to_hijri_tabular`."""
+    from .functions.normalize import (
+        iso_to_hijri_tabular,
+        iso_to_japanese,
+        iso_to_minguo,
+        iso_to_thai_buddhist,
+    )
 
     o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
     d = F.col("o_orderdate")
@@ -1792,6 +1931,7 @@ def chronology_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_to_minguo(d).alias("minguo"),
         iso_to_thai_buddhist(d).alias("thai"),
         iso_to_japanese(d).alias("japanese"),
+        iso_to_hijri_tabular(d).alias("hijri_tabular"),
     )
 
 

@@ -122,3 +122,55 @@ def test_chronology_converters(spark):
     assert got["1989-01-08"][0] == "Heisei 1-01-08"
     assert got["2019-05-01"][0] == "Reiwa 1-05-01"
     assert got["2020-02-29"] == ("Reiwa 2-02-29", "0109-02-29", "2563-02-29")
+
+
+def test_phone_metadata(spark):
+    """PhoneNumberHandlerBase metadata analogs (type / geocode / tz / cc)
+    over the public NANPA/ITU tables (`PhoneNumberHandlerBase.java:216-380`)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions import phone_metadata as pm
+
+    rows = [
+        ("(212) 555-0199", "FIXED_LINE_OR_MOBILE", "New York, NY", "America/New_York", 1),
+        ("(800) 555-1234", "TOLL_FREE", "United States/Canada", "America/New_York", 1),
+        ("(900) 555-9999", "PREMIUM_RATE", "United States/Canada", "America/New_York", 1),
+        ("(507) 555-4321", "FIXED_LINE_OR_MOBILE", "United States/Canada", "America/New_York", 1),
+        ("+44 20 7946 0958", "UNKNOWN", "United Kingdom", "Europe/London", 44),
+        ("+81 3 1234 5678", "UNKNOWN", "Japan", "Asia/Tokyo", 81),
+        ("12345", None, None, None, None),
+    ]
+    df = spark.createDataFrame([(v,) for v, *_ in rows], "p string")
+    got = df.select(
+        "p",
+        pm.phone_number_type(F.col("p")).alias("ty"),
+        pm.phone_geocoder_description(F.col("p")).alias("geo"),
+        pm.phone_timezones(F.col("p")).alias("tz"),
+        pm.phone_country_code(F.col("p")).alias("cc"),
+    ).collect()
+    by_p = {r["p"]: r for r in got}
+    for v, ty, geo, tz, cc in rows:
+        r = by_p[v]
+        assert (r["ty"], r["geo"], r["tz"], r["cc"]) == (ty, geo, tz, cc), v
+    assert pm.get_country_code_for_region("CA") == 1
+    assert pm.get_country_code_for_region("DE") == 49
+
+
+def test_hijri_tabular_known_dates(spark):
+    """Tabular (Kuwaiti-algorithm) Islamic dates: pinned against published
+    civil-epoch conversions.  Documented as an approximation of the
+    reference's Umm al-Qura chronology (±1-2 days)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.normalize import iso_to_hijri_tabular
+
+    cases = [
+        ("1999-04-17", "1420-01-01 AH"),   # 1 Muharram 1420
+        ("2000-01-01", "1420-09-24 AH"),
+        ("1989-07-04", "1409-11-30 AH"),   # civil epoch (astronomical is +1 day)
+        ("2023-07-19", "1445-01-01 AH"),   # 1 Muharram 1445 (civil)
+    ]
+    df = spark.createDataFrame(cases, "d string, want string")
+    got = df.select("want", iso_to_hijri_tabular(F.col("d")).alias("h")).collect()
+    for r in got:
+        assert r["h"] == r["want"], (r["want"], r["h"])
