@@ -10,17 +10,19 @@ the reference's `AvroUtils.streamAvroFile` → per-leaf analyzers
 (`common/util/AvroUtils.java:194`, `common/inference/AvroQualityAnalyzer.
 java:100-122`).
 
-Supported: null + deflate codecs; records (arbitrarily nested), unions,
-arrays, MAPS, enums, FIXED, all primitives, and NAMED-TYPE REFERENCES
-(a field typed by the name of a previously-defined record/enum/fixed,
-incl. recursive schemas — resolved by `resolve_names`).  Large single
-files split at sync markers (`read_avro_split`) so one giant OCF fans
-out across tasks instead of serializing on one.  Not supported
-(documented): snappy/zstd codecs (no codec libs pinned here — raise
-clearly), Avro logical types (surface as their base type).  The split
-reader opens paths with plain Python IO, so it needs task-readable
-storage (local/NFS/fuse mounts); the per-file `read_avro` path uses the
-binaryFile datasource and works on any Hadoop-compatible FS.
+Supported: null / deflate / snappy / zstd codecs (snappy+zstd via
+pyarrow's bundled codecs, incl. the Avro snappy CRC32 suffix); records
+(arbitrarily nested), unions, arrays, MAPS, enums, FIXED, all
+primitives, and NAMED-TYPE REFERENCES (a field typed by the name of a
+previously-defined record/enum/fixed, incl. recursive schemas —
+resolved by `resolve_names`).  Large single files split at sync markers
+(`read_avro_split`) so one giant OCF fans out across tasks instead of
+serializing on one.  Not supported (documented): Avro logical types
+(surface as their base type), zstd frames written without a content
+size (clear error).  The split reader opens paths with plain Python IO,
+so it needs task-readable storage (local/NFS/fuse mounts); the per-file
+`read_avro` path uses the binaryFile datasource and works on any
+Hadoop-compatible FS.
 """
 
 from __future__ import annotations
@@ -36,6 +38,88 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# Block codecs.  null/deflate via stdlib; snappy/zstd via pyarrow's bundled
+# codecs (no extra install).  Avro snappy blocks append a 4-byte big-endian
+# CRC32 of the UNCOMPRESSED data; the raw-snappy preamble is a little-endian
+# varint of the uncompressed length, which pyarrow needs passed explicitly.
+# zstd decode requires the frame to carry its content size (all common
+# writers set it); frames without it raise a clear error.
+# ---------------------------------------------------------------------------
+
+
+def _snappy_uncompressed_len(buf: bytes) -> int:
+    n = shift = pos = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n
+        shift += 7
+
+
+def _zstd_content_size(buf: bytes) -> int:
+    if buf[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    desc = buf[4]
+    fcs_flag = desc >> 6
+    single_segment = (desc >> 5) & 1
+    dict_flag = desc & 0x03
+    pos = 5 + (0 if single_segment else 1)  # window descriptor
+    pos += (0, 1, 2, 4)[dict_flag]
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame lacks content size — unsupported")
+        return buf[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(buf[pos : pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(buf[pos : pos + 4], "little")
+    return int.from_bytes(buf[pos : pos + 8], "little")
+
+
+def _decompress_block(block: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return block
+    if codec == "deflate":
+        return zlib.decompress(block, -15)
+    if codec == "snappy":
+        import pyarrow as _pa
+
+        body, crc = block[:-4], block[-4:]
+        out = bytes(
+            _pa.Codec("snappy").decompress(body, _snappy_uncompressed_len(body))
+        )
+        if zlib.crc32(out).to_bytes(4, "big") != crc:
+            raise ValueError("snappy block CRC mismatch")
+        return out
+    if codec == "zstd":
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("zstd").decompress(block, _zstd_content_size(block)))
+    raise ValueError(f"unsupported codec: {codec}")
+
+
+def _compress_block(block: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return block
+    if codec == "deflate":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return co.compress(block) + co.flush()
+    if codec == "snappy":
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("snappy").compress(block)) + zlib.crc32(block).to_bytes(
+            4, "big"
+        )
+    if codec == "zstd":
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("zstd").compress(block))
+    raise ValueError(f"unsupported codec: {codec}")
 
 # ---------------------------------------------------------------------------
 # Binary primitives (Avro spec: zigzag varints, length-prefixed bytes)
@@ -301,10 +385,7 @@ def decode_container(payload: bytes) -> tuple[dict, list]:
         if payload[pos : pos + 16] != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
         pos += 16
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported codec: {codec}")
+        block = _decompress_block(block, codec)
         bpos = 0
         for _ in range(n_recs):
             rec, bpos = _decode_datum(schema, block, bpos)
@@ -344,10 +425,7 @@ def write_container(
         body = io.BytesIO()
         for rec in chunk:
             _encode_datum(schema, rec, body)
-        block = body.getvalue()
-        if codec == "deflate":
-            co = zlib.compressobj(9, zlib.DEFLATED, -15)
-            block = co.compress(block) + co.flush()
+        block = _compress_block(body.getvalue(), codec)
         _write_long(out, len(chunk))
         _write_long(out, len(block))
         out.write(block)
@@ -542,10 +620,7 @@ def read_avro_split(
                         if bytes(buf[p2 : p2 + 16]) != sync:
                             raise ValueError("sync marker mismatch (corrupt block)")
                         p2 += 16
-                        if codec == "deflate":
-                            block = zlib.decompress(block, -15)
-                        elif codec != "null":
-                            raise ValueError(f"unsupported codec: {codec}")
+                        block = _decompress_block(block, codec)
                         bpos = 0
                         for _ in range(n_recs):
                             rec, bpos = _decode_datum(schema, block, bpos)

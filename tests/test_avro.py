@@ -209,3 +209,33 @@ def test_read_avro_split_null_codec_single_block(spark, tmp_path):
     out = av.read_avro_split(spark, p, split_bytes=50)  # ranges smaller than the block
     got = sorted(json.loads(r["json"])["id"] for r in out.collect())
     assert got == list(range(10))
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd"])
+def test_snappy_zstd_codecs(tmp_path, codec):
+    """snappy (with the Avro CRC32-of-uncompressed suffix) and zstd blocks
+    via pyarrow's bundled codecs — no extra install."""
+    p = str(tmp_path / f"c_{codec}.avro")
+    recs = _records(80)
+    av.write_container(p, SCHEMA, recs, codec=codec, records_per_block=16)
+    _s, got = av.decode_container(open(p, "rb").read())
+    assert got == recs
+
+
+def test_snappy_crc_mismatch_detected(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    av.write_container(p, SCHEMA, _records(5), codec="snappy")
+    raw = bytearray(open(p, "rb").read())
+    raw[-17] ^= 0xFF  # flip a CRC byte (last 16 bytes are the sync marker)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        av.decode_container(bytes(raw))
+
+
+def test_read_avro_split_snappy(spark, tmp_path):
+    p = str(tmp_path / "big_snappy.avro")
+    recs = _records(300)
+    av.write_container(p, SCHEMA, recs, codec="snappy", records_per_block=20)
+    size = __import__("os").path.getsize(p)
+    out = av.read_avro_split(spark, p, split_bytes=max(size // 5, 64))
+    got = sorted(json.loads(r["json"])["id"] for r in out.collect())
+    assert got == list(range(300))
