@@ -179,18 +179,20 @@ def _write_report(r: dict, here: str) -> None:
         "",
     ]
     if r["scaling_efficiency"] > 1.0:
-        lines[lines.index("")] = ""  # no-op; keep structure
+        lo, hi = r["low"], r["high"]
+        lo_pc = lo["docs_per_sec"] / lo["cores"]
+        hi_pc = hi["docs_per_sec"] / hi["cores"]
         lines.insert(
             lines.index(
                 "Reproduce: `python bench/scaling.py` (≈ a few minutes; writes"
             ),
             "Super-linear (> 1.0) readings reproduce across consecutive idle-box\n"
-            "runs: the low-core configuration is consistently *worse than 1/4*\n"
-            "of the high-core one, most plausibly per-task cache locality —\n"
-            "125k docs/core at local[4] vs 31k at local[16] on a shared-cache\n"
-            "host — plus fixed JVM service threads amortizing better at higher\n"
-            "parallelism.  The criterion is one-sided (≥ 0.8), so the reading\n"
-            "is reported as measured rather than clamped.\n",
+            f"runs: the low-core configuration is consistently worse per core\n"
+            f"({lo_pc:,.0f} docs/s/core at local[{lo['cores']}] vs {hi_pc:,.0f} at\n"
+            f"local[{hi['cores']}]), most plausibly per-task cache locality on a\n"
+            "shared-cache host plus fixed JVM service threads amortizing better\n"
+            "at higher parallelism.  The criterion is one-sided (≥ 0.8), so the\n"
+            "reading is reported as measured rather than clamped.\n",
         )
     # preserve any sections other benches appended after the scaling block
     # (e.g. bench/isdate.py's throughput-floor section)

@@ -306,6 +306,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     num_bands: int = 4,
     portable: bool = False,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Candidates → verify with true n-gram Jaccard ≥ threshold.
     `portable=True` swaps the xxhash64 signatures for the salted-md5 twin
@@ -318,15 +319,19 @@ def minhash_near_duplicates(
     doc's set shuffles once per side, not 2×bands times).  The signature
     table (id + k longs + hashed set — orders of magnitude smaller than
     the corpus) is persisted because it feeds the banding branch and both
-    set joins; recomputing it would re-scan the corpus 3×.
-    Output: (id_a, id_b, jaccard).
+    set joins; recomputing it would re-scan the corpus 3×.  The cache
+    lives until Spark's LRU evicts it (spilling to disk first) — callers
+    running MANY dedup passes in one session should either
+    `spark.catalog.clearCache()` between passes (bench.py does) or set
+    `persist_signatures=False` to trade recompute for zero cache
+    footprint.  Output: (id_a, id_b, jaccard).
     """
     from pyspark import StorageLevel
 
     sig_fn = minhash_signature_df_portable if portable else minhash_signature_df
-    sigs = sig_fn(df, text_col, id_col, shingle_n, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = sig_fn(df, text_col, id_col, shingle_n, num_hashes)
+    if persist_signatures:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _lsh_pairs_from_sigs(sigs, num_hashes, num_bands, max_bucket=1000)
     return (
         pairs.select(

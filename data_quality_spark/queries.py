@@ -1844,7 +1844,6 @@ def phone_metadata_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(_PHONE_VOCAB)
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 840)
     idx = (F.col("c_custkey") % n).cast("int")
-    phone = F.element_at(F.array(*[F.lit(v) for v in _PHONE_VOCAB]), idx + 1)
     grouped = (
         cust.select(idx.alias("idx"))
         .groupBy("idx")
@@ -2470,7 +2469,6 @@ def synonym_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(_SYN_SEARCH_QUERIES)
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 700)
     idx = (F.col("c_custkey") % n).cast("int")
-    q = F.element_at(F.array(*[F.lit(s) for s in _SYN_SEARCH_QUERIES]), idx + 1)
     grouped = (
         cust.select(idx.alias("idx"))
         .groupBy("idx")

@@ -178,35 +178,40 @@ _PRIMITIVES = frozenset(
 )
 
 
-def resolve_names(schema, names: dict | None = None):
+def resolve_names(schema, names: dict | None = None, enclosing_ns: str | None = None):
     """Resolve named-type references IN PLACE: an Avro schema may type a
-    field by the bare/fullname of a previously-defined record/enum/fixed
-    (spec §Names).  Definitions appear before use in document order, so a
-    single pass substituting the string reference with the (shared) dict
-    object suffices; recursive schemas become cyclic object graphs, which
-    the data-driven decoder walks safely."""
+    field by the bare name or fullname of a previously-defined
+    record/enum/fixed (spec §Names).  Definitions appear before use in
+    document order, so a single pass substituting the string reference
+    with the (shared) dict object suffices; recursive schemas become
+    cyclic object graphs, which the data-driven decoder walks safely.
+    Nested named types without an explicit namespace INHERIT the most
+    tightly enclosing one (spec §Names), so both `Point` and
+    `com.x.Point` resolve for a type nested under namespace com.x."""
     if names is None:
         names = {}
     if isinstance(schema, list):
-        return [resolve_names(b, names) for b in schema]
+        return [resolve_names(b, names, enclosing_ns) for b in schema]
     if isinstance(schema, dict):
         t = schema.get("type")
+        child_ns = enclosing_ns
         if t in ("record", "enum", "fixed"):
             name = schema.get("name")
             if name:
+                ns = schema.get("namespace", enclosing_ns)
                 names[name] = schema
-                ns = schema.get("namespace")
                 if ns:
                     names[f"{ns}.{name}"] = schema
+                child_ns = ns
         if t == "record":
             for field in schema["fields"]:
-                field["type"] = resolve_names(field["type"], names)
+                field["type"] = resolve_names(field["type"], names, child_ns)
         elif t == "array":
-            schema["items"] = resolve_names(schema["items"], names)
+            schema["items"] = resolve_names(schema["items"], names, child_ns)
         elif t == "map":
-            schema["values"] = resolve_names(schema["values"], names)
+            schema["values"] = resolve_names(schema["values"], names, child_ns)
         elif isinstance(t, (dict, list)):
-            schema["type"] = resolve_names(t, names)
+            schema["type"] = resolve_names(t, names, child_ns)
         return schema
     if isinstance(schema, str) and schema not in _PRIMITIVES:
         if schema in names:
@@ -456,8 +461,14 @@ def avro_schema_to_ddl(schema: dict) -> str:
     """Avro record schema → Spark DDL (for from_json on the `json` col).
     Named references resolve to their definition; a RECURSIVE reference
     maps to `string` (Spark structs cannot be cyclic — the subtree stays
-    raw JSON, still analyzable by the dotted-path JSON quality ops)."""
-    schema = resolve_names(json.loads(json.dumps(schema)))
+    raw JSON, still analyzable by the dotted-path JSON quality ops).
+    Accepts either the raw JSON schema or one already resolved by
+    `resolve_names` (e.g. as returned by decode_container — a cyclic
+    object graph that json round-tripping would reject)."""
+    try:
+        schema = resolve_names(json.loads(json.dumps(schema)))
+    except ValueError:
+        pass  # already-resolved cyclic graph: use as-is (resolution idempotent)
 
     def typ(s, stack: tuple) -> str:
         if isinstance(s, list):
@@ -510,24 +521,43 @@ def read_schema(payload: bytes) -> dict:
 
 
 def _parse_header(f) -> tuple[dict, str, bytes, int]:
-    """Read (schema, codec, sync, header_end_offset) from an open file."""
-    head = f.read(1 << 20)  # OCF headers are small; 1 MB is generous
-    if head[:4] != MAGIC:
+    """Read (schema, codec, sync, header_end_offset) from an open file.
+    Grows the read buffer if the header exceeds the initial 1 MB (legal:
+    huge schemas / user metadata) instead of failing on a short slice."""
+    f.seek(0)
+    head = bytearray(f.read(1 << 20))
+
+    def _need(n: int) -> None:
+        while len(head) < n:
+            chunk = f.read(max(n - len(head), 1 << 20))
+            if not chunk:
+                raise ValueError("truncated Avro header")
+            head.extend(chunk)
+
+    if bytes(head[:4]) != MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
     meta = {}
     while True:
+        _need(pos + 10)
         count, pos = _read_long(head, pos)
         if count == 0:
             break
         if count < 0:
+            _need(pos + 10)
             _size, pos = _read_long(head, pos)
             count = -count
         for _ in range(count):
+            _need(pos + 10)
+            klen, kpos = _read_long(head, pos)
+            _need(kpos + klen + 10)
             k, pos = _read_bytes(head, pos)
+            vlen, vpos = _read_long(head, pos)
+            _need(vpos + vlen + 10)
             v, pos = _read_bytes(head, pos)
             meta[k.decode("utf-8")] = v
-    sync = head[pos : pos + 16]
+    _need(pos + 16)
+    sync = bytes(head[pos : pos + 16])
     pos += 16
     schema = resolve_names(json.loads(meta["avro.schema"].decode("utf-8")))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
@@ -580,11 +610,16 @@ def read_avro_split(
                 pdf["path"], pdf["start"], pdf["end"], pdf["header_end"]
             ):
                 start, end, header_end = int(start), int(end), int(header_end)
-                limit = end - start  # a block is OURS iff it starts before this
                 with open(fp, "rb") as f:
                     schema, codec, sync, _ = _parse_header(f)
-                    f.seek(start)
-                    buf = bytearray(f.read(limit))
+                    # Read from 16 bytes BEFORE `start`: a block whose first
+                    # byte is exactly `start` is announced by a sync marker
+                    # occupying [start-16, start) — searching only within
+                    # [start, end) misses it and silently drops the block
+                    # (boundary-aligned data loss; regression-tested).
+                    base = start if start == header_end else start - 16
+                    f.seek(base)
+                    buf = bytearray(f.read(end - base))
 
                     def ensure(n: int) -> bool:
                         # extend buf from the file until ≥ n bytes (the last
@@ -597,16 +632,18 @@ def read_avro_split(
                             buf.extend(chunk)
                         return True
 
-                    # first block boundary at/after `start`: the header end
-                    # IS a boundary; later boundaries follow a sync marker
+                    # first block boundary b (file offset base+pos) with
+                    # start <= b < end: the header end IS a boundary; later
+                    # boundaries follow a sync marker.  With base = start-16,
+                    # any sync found at s >= 0 yields b = base+s+16 >= start.
                     if start == header_end:
                         pos = 0
                     else:
                         hit = bytes(buf).find(sync)
-                        if hit < 0 or hit + 16 >= limit:
+                        if hit < 0 or base + hit + 16 >= end:
                             continue  # no owned block in this range
                         pos = hit + 16
-                    rows = []
+                    limit = end - base  # block at buf pos is ours iff pos < limit
                     while pos < limit:
                         if len(buf) <= pos and not ensure(pos + 1):
                             break  # clean EOF at a block boundary
@@ -622,12 +659,15 @@ def read_avro_split(
                         p2 += 16
                         block = _decompress_block(block, codec)
                         bpos = 0
+                        rows = []
                         for _ in range(n_recs):
                             rec, bpos = _decode_datum(schema, block, bpos)
                             rows.append(json.dumps(rec, ensure_ascii=False))
                         pos = p2
-                if rows:
-                    yield pd.DataFrame({"path": fp, "json": rows})
+                        # one DataFrame per BLOCK: memory stays bounded by the
+                        # block size, not the whole (possibly multi-GB) split
+                        if rows:
+                            yield pd.DataFrame({"path": fp, "json": rows})
 
     return rdf.mapInPandas(gen, schema="path string, json string")
 
