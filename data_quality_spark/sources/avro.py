@@ -17,9 +17,11 @@ primitives, and NAMED-TYPE REFERENCES (a field typed by the name of a
 previously-defined record/enum/fixed, incl. recursive schemas —
 resolved by `resolve_names`).  Large single files split at sync markers
 (`read_avro_split`) so one giant OCF fans out across tasks instead of
-serializing on one.  Not supported (documented): Avro logical types
-(surface as their base type), zstd frames written without a content
-size (clear error).  The split reader opens paths with plain Python IO,
+serializing on one.  Logical types (date / time-millis|micros /
+timestamp-millis|micros / decimal / uuid) decode to ISO/decimal strings
+and type as date/timestamp/decimal in the derived DDL.  Not supported
+(documented): zstd frames written without a content size (clear
+error).  The split reader opens paths with plain Python IO,
 so it needs task-readable storage (local/NFS/fuse mounts); the per-file
 `read_avro` path uses the binaryFile datasource and works on any
 Hadoop-compatible FS.
@@ -220,11 +222,103 @@ def resolve_names(schema, names: dict | None = None, enclosing_ns: str | None = 
     return schema
 
 
+# Avro logical types (spec §Logical Types) honored by the reference's
+# AvroDataTypeDiscoveryAnalyzer (date/time/timestamp,
+# `statistics/type/AvroDataTypeDiscoveryAnalyzer.java:48-50`): decoded
+# values surface in their ISO/decimal STRING form so the JSON row is
+# readable and `from_json` with the DDL below parses them into real
+# date/timestamp/decimal Spark types.
+
+_LOGICAL_TYPES = frozenset(
+    ["date", "time-millis", "time-micros", "timestamp-millis", "timestamp-micros", "decimal", "uuid"]
+)
+
+
+def _apply_logical(lt: str, schema, value):
+    import datetime as _dt
+
+    if lt == "date":  # int: days since epoch
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=value)).isoformat()
+    if lt == "time-millis":
+        ms = value
+        return f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:{ms // 1000 % 60:02d}.{ms % 1000:03d}"
+    if lt == "time-micros":
+        us = value
+        return (
+            f"{us // 3600000000:02d}:{us // 60000000 % 60:02d}:"
+            f"{us // 1000000 % 60:02d}.{us % 1000000:06d}"
+        )
+    if lt == "timestamp-millis":
+        ts = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+            milliseconds=value
+        )
+        return ts.strftime("%Y-%m-%d %H:%M:%S.") + f"{value % 1000:03d}"
+    if lt == "timestamp-micros":
+        ts = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+            microseconds=value
+        )
+        return ts.strftime("%Y-%m-%d %H:%M:%S.") + f"{value % 1000000:06d}"
+    if lt == "decimal":
+        raw = bytes.fromhex(value) if isinstance(value, str) else bytes(value)
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        scale = schema.get("scale", 0)
+        if scale == 0:
+            return str(unscaled)
+        sign = "-" if unscaled < 0 else ""
+        digits = str(abs(unscaled)).rjust(scale + 1, "0")
+        return f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+    return value  # uuid and unknown logical types: base form
+
+
+def _unapply_logical(lt: str, schema, value):
+    """Writer-side inverse (fixtures/tests round-trip)."""
+    import datetime as _dt
+
+    if lt == "date":
+        return (_dt.date.fromisoformat(value) - _dt.date(1970, 1, 1)).days
+    if lt == "time-millis":
+        h, m, s = value.split(":")
+        sec, frac = s.split(".")
+        return ((int(h) * 60 + int(m)) * 60 + int(sec)) * 1000 + int(frac.ljust(3, "0")[:3])
+    if lt == "time-micros":
+        h, m, s = value.split(":")
+        sec, frac = s.split(".")
+        return ((int(h) * 60 + int(m)) * 60 + int(sec)) * 1000000 + int(
+            frac.ljust(6, "0")[:6]
+        )
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        ts = _dt.datetime.fromisoformat(value).replace(tzinfo=_dt.timezone.utc)
+        delta = ts - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        us = delta // _dt.timedelta(microseconds=1)
+        return us // 1000 if lt == "timestamp-millis" else us
+    if lt == "decimal":
+        scale = schema.get("scale", 0)
+        unscaled = int(str(value).replace(".", ""))
+        if str(value).startswith("-"):
+            pass  # sign preserved by int()
+        n = max((unscaled.bit_length() + 8) // 8, 1)
+        raw = unscaled.to_bytes(n, "big", signed=True)
+        if schema.get("type") == "fixed" or (
+            isinstance(schema.get("type"), dict) and schema["type"].get("type") == "fixed"
+        ):
+            size = schema.get("size") or schema["type"]["size"]
+            pad = b"\xff" if unscaled < 0 else b"\x00"
+            raw = pad * (size - len(raw)) + raw
+        return raw
+    return value
+
+
 def _decode_datum(schema, buf: bytes, pos: int):
     if isinstance(schema, list):  # union: long index then value
         idx, pos = _read_long(buf, pos)
         return _decode_datum(schema[idx], buf, pos)
     if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt in _LOGICAL_TYPES:
+            base = dict(schema)
+            del base["logicalType"]
+            value, pos = _decode_datum(base, buf, pos)
+            return _apply_logical(lt, schema, value), pos
         t = schema["type"]
         if t == "record":
             out = {}
@@ -287,6 +381,13 @@ def _decode_datum(schema, buf: bytes, pos: int):
 
 
 def _encode_datum(schema, value, out: io.BytesIO) -> None:
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt in _LOGICAL_TYPES:
+            base = dict(schema)
+            del base["logicalType"]
+            _encode_datum(base, _unapply_logical(lt, schema, value), out)
+            return
     if isinstance(schema, list):
         # pick first matching branch (null vs not-null is the common case)
         for idx, branch in enumerate(schema):
@@ -475,6 +576,15 @@ def avro_schema_to_ddl(schema: dict) -> str:
             non_null = [b for b in s if b != "null"]
             return typ(non_null[0], stack) if non_null else "string"
         if isinstance(s, dict):
+            lt = s.get("logicalType")
+            if lt in _LOGICAL_TYPES:
+                if lt == "date":
+                    return "date"
+                if lt in ("timestamp-millis", "timestamp-micros"):
+                    return "timestamp"
+                if lt == "decimal":
+                    return f"decimal({s.get('precision', 38)},{s.get('scale', 0)})"
+                return "string"  # time-* (no Spark time type), uuid
             t = s["type"]
             if t == "record":
                 if id(s) in stack:

@@ -291,3 +291,43 @@ def test_namespace_inherited_named_reference(tmp_path):
     assert got == recs
     # decode_container returns the RESOLVED schema; DDL must accept it
     assert "struct<`v`: bigint>" in av.avro_schema_to_ddl(s)
+
+
+def test_logical_types_roundtrip_and_typed(spark, tmp_path):
+    """Avro logical types (spec; honored by the reference's
+    AvroDataTypeDiscoveryAnalyzer for date/time/timestamp) surface as
+    ISO/decimal strings in JSON and as real date/timestamp/decimal Spark
+    types through the derived DDL."""
+    schema = {
+        "type": "record", "name": "L",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                      "precision": 9, "scale": 2}},
+            {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    recs = [
+        {"d": "2020-02-29", "ts": "2021-06-01 12:34:56.789012",
+         "tm": "01:02:03.450", "amt": "-1234.56",
+         "u": "123e4567-e89b-12d3-a456-426614174000"},
+        {"d": "1969-12-25", "ts": "1970-01-01 00:00:00.000001",
+         "tm": "23:59:59.999", "amt": "0.05",
+         "u": "00000000-0000-0000-0000-000000000000"},
+    ]
+    p = str(tmp_path / "lt.avro")
+    av.write_container(p, schema, recs)
+    _s, got = av.decode_container(open(p, "rb").read())
+    assert got == recs
+    typed = av.read_avro_typed(spark, p)
+    dt = dict(typed.dtypes)
+    assert dt == {"d": "date", "ts": "timestamp", "tm": "string",
+                  "amt": "decimal(9,2)", "u": "string"}
+    import datetime, decimal
+    rows = {r["u"]: r for r in typed.collect()}
+    r0 = rows["123e4567-e89b-12d3-a456-426614174000"]
+    assert r0["d"] == datetime.date(2020, 2, 29)
+    assert r0["amt"] == decimal.Decimal("-1234.56")
+    assert r0["ts"].strftime("%Y-%m-%d %H:%M:%S.%f") == "2021-06-01 12:34:56.789012"
