@@ -174,3 +174,33 @@ def test_hijri_tabular_known_dates(spark):
     got = df.select("want", iso_to_hijri_tabular(F.col("d")).alias("h")).collect()
     for r in got:
         assert r["h"] == r["want"], (r["want"], r["h"])
+
+
+def test_chronology_reference_vectors(spark):
+    """Pin the reference's DateCalendarConverterTest vectors for ISO
+    1996-10-29 (`converters/DateCalendarConverterTest.java:95-127`):
+    Minguo 85, ThaiBuddhist 2539, Japanese Heisei 8 — plus where the
+    tabular Islamic date lands relative to the reference's Umm al-Qura
+    1417-06-16 (the documented approximation)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.normalize import (
+        iso_to_hijri_tabular,
+        iso_to_japanese,
+        iso_to_minguo,
+        iso_to_thai_buddhist,
+    )
+
+    df = spark.createDataFrame([("1996-10-29",)], "d string")
+    r = df.select(
+        iso_to_minguo(F.col("d")).alias("m"),
+        iso_to_thai_buddhist(F.col("d")).alias("t"),
+        iso_to_japanese(F.col("d")).alias("j"),
+        iso_to_hijri_tabular(F.col("d")).alias("h"),
+    ).collect()[0]
+    assert r["m"] == "0085-10-29"
+    assert r["t"] == "2539-10-29"
+    assert r["j"] == "Heisei 8-10-29"
+    # reference (Umm al-Qura) says 1417-06-16; tabular must be within 2 days
+    assert r["h"] in ("1417-06-14 AH", "1417-06-15 AH", "1417-06-16 AH",
+                      "1417-06-17 AH", "1417-06-18 AH"), r["h"]
