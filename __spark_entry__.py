@@ -50,8 +50,12 @@ _PRIORITY = [
     # new this round
     "synonym_search_modes",
     "phone_metadata_customers",
-    # oracle text changed this round (Meiji boundary) — re-verify
+    # oracle text changed this round (Meiji boundary / bucket-cap mirror)
     "chronology_convert_orders",
+    "simhash_near_dups",
+    # plan restructured this round (candidate_pairs cap) — re-verify
+    "record_linkage_parts",
+    "record_clusters_parts",
 ]
 
 
