@@ -2035,10 +2035,12 @@ def _phonetic_linkage_oracle_sql() -> str:
 def phonetic_linkage_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metaphone-blocked record linkage (the judge-requested §2.5 pattern):
     block on the metaphone key, score in-block pairs with the native
-    Levenshtein weight.  The oracle recomputes the blocking from the
+    Levenshtein weight — identical names deduped before scoring
+    (`scored_name_pairs`; the 32-word vocabulary repeats heavily, exactly
+    the web-corpus case).  The oracle recomputes the blocking from the
     embedded expected-code map, so blocking correctness is hash-verified."""
     from .functions.keyers import metaphone_key
-    from .operators.matching import candidate_pairs, levenshtein_weight
+    from .operators.matching import scored_name_pairs
 
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
     name = F.element_at(
@@ -2046,12 +2048,8 @@ def phonetic_linkage_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % len(_PHONETIC_VOCAB)).cast("int") + 1,
     )
     named = cust.select(F.col("c_custkey").alias("id"), name.alias("name"))
-    pairs = candidate_pairs(named, "id", metaphone_key(F.col("name")))
-    return pairs.select(
-        F.col("a_id").alias("id_a"),
-        F.col("b_id").alias("id_b"),
-        levenshtein_weight(F.col("a_name"), F.col("b_name")).alias("lev_weight"),
-    )
+    pairs = scored_name_pairs(named, "id", "name", metaphone_key(F.col("name")))
+    return pairs.select("id_a", "id_b", "lev_weight")
 
 
 # ---------------------------------------------------------------------------
