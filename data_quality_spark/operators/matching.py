@@ -333,9 +333,17 @@ def scored_name_pairs(
     to weight 1.0 without a matcher call.  Output: (id_a, id_b,
     lev_weight, exact_weight) with id_a < id_b, blocks over `max_block`
     ROWS dropped (cap counts rows, not distinct names — reference
-    semantics, `StringsClusterAnalyzer.java:57`)."""
+    semantics, `StringsClusterAnalyzer.java:57`).
+
+    Null handling: rows with a NULL block key or NULL name are excluded
+    up front — an equi-join drops null keys anyway, and grouping would
+    otherwise treat all null names as one "identical" value and emit
+    weight-1.0 pairs for them.  For nullable attributes use the generic
+    `candidate_pairs` (which scores nulls per the matcher's own
+    semantics)."""
     names = (
-        df.withColumn("_bk", block_key)
+        df.filter(block_key.isNotNull() & F.col(name_col).isNotNull())
+        .withColumn("_bk", block_key)
         .groupBy("_bk", name_col)
         .agg(F.collect_list(id_col).alias("_ids"), F.count(F.lit(1)).alias("_k"))
     )

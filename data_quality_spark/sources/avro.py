@@ -234,6 +234,18 @@ _LOGICAL_TYPES = frozenset(
 )
 
 
+def _logical_base(schema: dict) -> dict:
+    """The schema node with its logicalType annotation stripped, memoized
+    ON the node (`_strip` key): decode/encode hit this once per VALUE, so
+    a fresh dict copy per datum would cost millions of allocations on a
+    large container."""
+    base = schema.get("_strip")
+    if base is None:
+        base = {k: v for k, v in schema.items() if k not in ("logicalType", "_strip")}
+        schema["_strip"] = base
+    return base
+
+
 def _apply_logical(lt: str, schema, value):
     import datetime as _dt
 
@@ -276,26 +288,28 @@ def _unapply_logical(lt: str, schema, value):
 
     if lt == "date":
         return (_dt.date.fromisoformat(value) - _dt.date(1970, 1, 1)).days
-    if lt == "time-millis":
+    if lt in ("time-millis", "time-micros"):
         h, m, s = value.split(":")
-        sec, frac = s.split(".")
-        return ((int(h) * 60 + int(m)) * 60 + int(sec)) * 1000 + int(frac.ljust(3, "0")[:3])
-    if lt == "time-micros":
-        h, m, s = value.split(":")
-        sec, frac = s.split(".")
-        return ((int(h) * 60 + int(m)) * 60 + int(sec)) * 1000000 + int(
-            frac.ljust(6, "0")[:6]
-        )
+        sec, _, frac = s.partition(".")  # fraction optional: "01:02:03" is legal
+        width = 3 if lt == "time-millis" else 6
+        unit = ((int(h) * 60 + int(m)) * 60 + int(sec)) * 10**width
+        return unit + int((frac or "0").ljust(width, "0")[:width])
     if lt in ("timestamp-millis", "timestamp-micros"):
         ts = _dt.datetime.fromisoformat(value).replace(tzinfo=_dt.timezone.utc)
         delta = ts - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
         us = delta // _dt.timedelta(microseconds=1)
         return us // 1000 if lt == "timestamp-millis" else us
     if lt == "decimal":
+        import decimal as _decimal
+
         scale = schema.get("scale", 0)
-        unscaled = int(str(value).replace(".", ""))
-        if str(value).startswith("-"):
-            pass  # sign preserved by int()
+        # exact rescale: "12.5" at scale 2 is unscaled 1250, and a value
+        # with MORE fraction digits than the scale is an error, not a
+        # silent truncation
+        scaled = _decimal.Decimal(str(value)).scaleb(scale)
+        if scaled != scaled.to_integral_value():
+            raise ValueError(f"decimal {value!r} does not fit scale {scale}")
+        unscaled = int(scaled)
         n = max((unscaled.bit_length() + 8) // 8, 1)
         raw = unscaled.to_bytes(n, "big", signed=True)
         if schema.get("type") == "fixed" or (
@@ -315,9 +329,7 @@ def _decode_datum(schema, buf: bytes, pos: int):
     if isinstance(schema, dict):
         lt = schema.get("logicalType")
         if lt in _LOGICAL_TYPES:
-            base = dict(schema)
-            del base["logicalType"]
-            value, pos = _decode_datum(base, buf, pos)
+            value, pos = _decode_datum(_logical_base(schema), buf, pos)
             return _apply_logical(lt, schema, value), pos
         t = schema["type"]
         if t == "record":
@@ -384,9 +396,7 @@ def _encode_datum(schema, value, out: io.BytesIO) -> None:
     if isinstance(schema, dict):
         lt = schema.get("logicalType")
         if lt in _LOGICAL_TYPES:
-            base = dict(schema)
-            del base["logicalType"]
-            _encode_datum(base, _unapply_logical(lt, schema, value), out)
+            _encode_datum(_logical_base(schema), _unapply_logical(lt, schema, value), out)
             return
     if isinstance(schema, list):
         # pick first matching branch (null vs not-null is the common case)
@@ -581,7 +591,10 @@ def avro_schema_to_ddl(schema: dict) -> str:
                 if lt == "date":
                     return "date"
                 if lt in ("timestamp-millis", "timestamp-micros"):
-                    return "timestamp"
+                    # NTZ: the decoded string is a UTC wall clock with no
+                    # zone marker; plain `timestamp` would re-interpret it
+                    # in spark.sql.session.timeZone and shift the instant
+                    return "timestamp_ntz"
                 if lt == "decimal":
                     return f"decimal({s.get('precision', 38)},{s.get('scale', 0)})"
                 return "string"  # time-* (no Spark time type), uuid

@@ -323,7 +323,9 @@ def test_logical_types_roundtrip_and_typed(spark, tmp_path):
     assert got == recs
     typed = av.read_avro_typed(spark, p)
     dt = dict(typed.dtypes)
-    assert dt == {"d": "date", "ts": "timestamp", "tm": "string",
+    # timestamp_ntz: the decoded string is a UTC wall clock; NTZ keeps the
+    # instant independent of spark.sql.session.timeZone
+    assert dt == {"d": "date", "ts": "timestamp_ntz", "tm": "string",
                   "amt": "decimal(9,2)", "u": "string"}
     import datetime, decimal
     rows = {r["u"]: r for r in typed.collect()}
