@@ -46,6 +46,20 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+def _pinned_sql(name: str) -> str | None:
+    """Pinned VALUES oracle by constant name, or None while it hasn't been
+    generated yet — scripts/pin_oracles.py imports QUERIES to produce the
+    pins, so a missing constant must degrade to rows-only, not ImportError.
+    NOTE the pins are sf0.01 snapshots (the driver gate's scale): a gate
+    run at any other sf requires regenerating via scripts/pin_oracles.py."""
+    try:
+        from . import pinned_oracles
+
+        return getattr(pinned_oracles, name, None)
+    except ImportError:
+        return None
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
@@ -1437,10 +1451,8 @@ def record_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _mfb_oracle_sql() -> str:
-    from .pinned_oracles import MFB_CLUSTERS_PARTS_SQL
-
-    return MFB_CLUSTERS_PARTS_SQL
+def _mfb_oracle_sql() -> str | None:
+    return _pinned_sql("MFB_CLUSTERS_PARTS_SQL")
 
 
 @_register("mfb_clusters_parts", _mfb_oracle_sql())
@@ -1652,16 +1664,23 @@ def reservoir_orders_k20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.orderBy(h.asc(), F.col("o_orderkey").asc()).limit(20)
 
 
+def _weighted_reservoir_oracle_sql() -> str | None:
+    return _pinned_sql("WEIGHTED_RESERVOIR_ORDERS_SQL")
+
+
+@_register("weighted_reservoir_orders", _weighted_reservoir_oracle_sql())
 def weighted_reservoir_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A-Res weighted reservoir (pow() bit-patterns are libm-dependent →
-    rows-only; unweighted variant above is the oracle-checked one)."""
+    """A-Res weighted reservoir.  pow() bit-patterns are libm-dependent, so
+    the A-Res KEYS can't be recomputed portably in SQL — but the SELECTED
+    id set is a deterministic function of the fixture (hash-uniform u,
+    global top-k with explicit tiebreak; parallelism-invariant), so the
+    sf0.01 selection is pinned as a VALUES oracle of ids only (see
+    pinned_oracles.py; the unweighted variant above is the
+    recomputed-oracle one)."""
     from .operators.sampling import weighted_reservoir_k
 
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    return weighted_reservoir_k(o, 20, "o_orderkey", "o_totalprice")
-
-
-QUERIES["weighted_reservoir_orders"] = weighted_reservoir_orders
+    return weighted_reservoir_k(o, 20, "o_orderkey", "o_totalprice").select("o_orderkey")
 
 
 # ---------------------------------------------------------------------------
@@ -2721,10 +2740,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_oracle_sql() -> str:
-    from .pinned_oracles import ANN_IVF_TOP3_SQL
-
-    return ANN_IVF_TOP3_SQL
+def _ann_ivf_oracle_sql() -> str | None:
+    return _pinned_sql("ANN_IVF_TOP3_SQL")
 
 
 @_register("ann_ivf_top3", _ann_ivf_oracle_sql())
@@ -2808,9 +2825,26 @@ def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flagship_oracle_sql() -> str | None:
+    return _pinned_sql("QUALITY_PIPELINE_DOCS_SQL")
+
+
+@_register("quality_pipeline_docs", _flagship_oracle_sql())
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quality pipeline over `documents` mapped to the pages
-    shape (url=doc://id).  Not SQL-expressible (pandas-UDF langid + LM)."""
+    shape (url=doc://id): rules → langid → perplexity → scrub → decide.
+
+    Not SQL-recomputable (pandas-UDF langid + char-bigram LM), but every
+    signal is a PURE PER-ROW function of the text (heuristic langid,
+    deterministic LM, compiled-regex scrub) — parallelism-invariant
+    (local[4]≡local[32] byte-identity gated by scripts/pin_oracles.py
+    before each pin), so the sf0.01 output is pinned as a VALUES oracle
+    (see pinned_oracles.py; the keep/drop F1 and byte-level scrub ground
+    truth live in tests/oracle.py + tests/test_pipeline.py).  The scrubbed
+    text is surfaced as an md5 digest to keep the pin compact — byte-level
+    scrub parity vs DuckDB on the FULL text is separately hash-verified by
+    `scrub_docs`; the production pipeline (pipeline.run) writes the full
+    scrubbed_text column."""
     from .pipeline import apply_quality_pipeline
 
     docs = _read_wide(spark, sf_dir, "documents")
@@ -2829,8 +2863,5 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ppl",
         "keep",
         F.array_join("reasons", "|").alias("reasons"),
-        "scrubbed_text",
+        F.md5(F.col("scrubbed_text")).alias("scrub_md5"),
     )
-
-
-QUERIES["quality_pipeline_docs"] = flagship  # rows-only check (UDF-backed)

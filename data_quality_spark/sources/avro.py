@@ -234,15 +234,26 @@ _LOGICAL_TYPES = frozenset(
 )
 
 
+# id()-keyed side cache for _logical_base.  Each entry keeps a strong
+# reference to the schema node so its id() can never be reused by a new
+# object; the leak is bounded by the number of distinct logical-type nodes
+# in parsed schemas (a handful per file), not by data volume.  Memoizing
+# ON the node (a `_strip` key) would leak a nonstandard attribute into
+# write_container's header json.dumps and break serialization of schemas
+# that round-tripped through decode.
+_strip_cache: dict[int, tuple[dict, dict]] = {}
+
+
 def _logical_base(schema: dict) -> dict:
     """The schema node with its logicalType annotation stripped, memoized
-    ON the node (`_strip` key): decode/encode hit this once per VALUE, so
+    in an id()-keyed side dict: decode/encode hit this once per VALUE, so
     a fresh dict copy per datum would cost millions of allocations on a
     large container."""
-    base = schema.get("_strip")
-    if base is None:
-        base = {k: v for k, v in schema.items() if k not in ("logicalType", "_strip")}
-        schema["_strip"] = base
+    hit = _strip_cache.get(id(schema))
+    if hit is not None:
+        return hit[1]
+    base = {k: v for k, v in schema.items() if k != "logicalType"}
+    _strip_cache[id(schema)] = (schema, base)
     return base
 
 
@@ -762,7 +773,7 @@ def read_avro_split(
                     if start == header_end:
                         pos = 0
                     else:
-                        hit = bytes(buf).find(sync)
+                        hit = buf.find(sync)  # bytearray.find — no copy
                         if hit < 0 or base + hit + 16 >= end:
                             continue  # no owned block in this range
                         pos = hit + 16
@@ -770,9 +781,18 @@ def read_avro_split(
                     while pos < limit:
                         if len(buf) <= pos and not ensure(pos + 1):
                             break  # clean EOF at a block boundary
-                        ensure(pos + 20)  # best-effort headroom for varints
-                        n_recs, p2 = _read_long(buf, pos)
-                        n_bytes, p2 = _read_long(buf, p2)
+                        # best-effort headroom for the two varints: a legit
+                        # tiny final block (2 varints + empty body + sync =
+                        # 18 bytes) can end inside the 20-byte ask, so a
+                        # False return is NOT itself an error — but a file
+                        # truncated mid-varint must surface as the intended
+                        # ValueError, not an IndexError out of _read_long.
+                        ensure(pos + 20)
+                        try:
+                            n_recs, p2 = _read_long(buf, pos)
+                            n_bytes, p2 = _read_long(buf, p2)
+                        except IndexError as exc:
+                            raise ValueError("truncated Avro block (EOF mid-varint)") from exc
                         if not ensure(p2 + n_bytes + 16):
                             raise ValueError("truncated Avro block")
                         block = bytes(buf[p2 : p2 + n_bytes])

@@ -211,6 +211,53 @@ def test_read_avro_split_null_codec_single_block(spark, tmp_path):
     assert got == list(range(10))
 
 
+def test_decoded_schema_reencodes_clean(tmp_path):
+    """Regression (review finding): _logical_base used to memoize by
+    mutating schema nodes with a `_strip` key, so a schema that had been
+    through decode and was then re-written serialized the nonstandard key
+    into the avro.schema header.  The id()-keyed side cache keeps nodes
+    pristine: decode → write_container must emit byte-clean schema JSON."""
+    schema = {
+        "type": "record", "name": "L",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                     "precision": 9, "scale": 2}},
+        ],
+    }
+    recs = [{"d": "2020-02-29", "amt": "12.34"}, {"d": "1969-12-25", "amt": "-0.05"}]
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    av.write_container(p1, schema, recs)
+    decoded_schema, got = av.decode_container(open(p1, "rb").read())
+    assert got == recs
+    # the decoded (resolved, logical-value-decoded) schema must re-serialize
+    av.write_container(p2, decoded_schema, recs)
+    raw = open(p2, "rb").read()
+    assert b"_strip" not in raw
+    _s2, got2 = av.decode_container(raw)
+    assert got2 == recs
+    # and the original schema dict was never mutated by decode
+    assert "_strip" not in json.dumps(schema)
+
+
+def test_read_avro_split_truncated_raises_valueerror(spark, tmp_path):
+    """Regression (review finding): a file truncated mid-varint must surface
+    as the intended 'truncated Avro block' ValueError, not an IndexError
+    escaping _read_long."""
+    p = str(tmp_path / "t.avro")
+    av.write_container(p, SCHEMA, _records(60), codec="null", records_per_block=10)
+    raw = open(p, "rb").read()
+    # cut inside the SECOND block's count varint: find the first sync after
+    # the header, keep it, then append one lone continuation byte (0x80)
+    hdr_end = raw.index(b"0123456789abcdef") + 16
+    first_sync = raw.index(b"0123456789abcdef", hdr_end)
+    truncated = raw[: first_sync + 16] + b"\x80"
+    pt = str(tmp_path / "trunc.avro")
+    open(pt, "wb").write(truncated)
+    with pytest.raises(Exception, match="truncated Avro block"):
+        av.read_avro_split(spark, pt, split_bytes=1 << 20).collect()
+
+
 @pytest.mark.parametrize("codec", ["snappy", "zstd"])
 def test_snappy_zstd_codecs(tmp_path, codec):
     """snappy (with the Avro CRC32-of-uncompressed suffix) and zstd blocks
