@@ -90,9 +90,24 @@ MONTHS_ES: tuple[str, ...] = (
     "enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
     "agosto", "septiembre", "octubre", "noviembre", "diciembre",
 )
+MONTHS_IT: tuple[str, ...] = (
+    "gennaio", "febbraio", "marzo", "aprile", "maggio", "giugno", "luglio",
+    "agosto", "settembre", "ottobre", "novembre", "dicembre",
+)
+MONTHS_PT: tuple[str, ...] = (
+    "janeiro", "fevereiro", "março", "abril", "maio", "junho", "julho",
+    "agosto", "setembro", "outubro", "novembro", "dezembro",
+)
+MONTHS_NL: tuple[str, ...] = (
+    "januari", "februari", "maart", "april", "mei", "juni", "juli",
+    "augustus", "september", "oktober", "november", "december",
+)
 _MON_FR = "(?:" + "|".join(MONTHS_FR) + ")"
 _MON_DE = "(?:" + "|".join(MONTHS_DE) + ")"
 _MON_ES = "(?:" + "|".join(MONTHS_ES) + ")"
+_MON_IT = "(?:" + "|".join(MONTHS_IT) + ")"
+_MON_PT = "(?:" + "|".join(MONTHS_PT) + ")"
+_MON_NL = "(?:" + "|".join(MONTHS_NL) + ")"
 _HMS = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
 _HM = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]"
 
@@ -137,11 +152,18 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("d MMM yyyy", rf"^{_D} {_MON} {_Y4}$"),
     ("MMMM d, yyyy", rf"^{_MONTH} {_D}, {_Y4}$"),
     ("d MMMM yyyy", rf"^{_D} {_MONTH} {_Y4}$"),
-    # locale month-name families (French / German / Spanish)
+    # locale month-name families (French / German / Spanish / Italian /
+    # Portuguese / Dutch).  Cross-locale month collisions (fr/it
+    # "novembre", es/pt/it "agosto", nl "april"/"september" vs their
+    # capitalized EN forms) resolve by cascade order, identically in both
+    # engines — first match wins, like the reference's in-group ordering.
     ("d MMMM yyyy (fr)", rf"^{_D} {_MON_FR} {_Y4}$"),
     ("d MMM yyyy (fr)", rf"^{_D} (?:janv|févr|avr|juil|sept|oct|nov|déc)\. {_Y4}$"),
     ("d. MMMM yyyy (de)", rf"^{_D}\. {_MON_DE} {_Y4}$"),
     ("d 'de' MMMM 'de' yyyy (es)", rf"^{_D} de {_MON_ES} de {_Y4}$"),
+    ("d MMMM yyyy (it)", rf"^{_D} {_MON_IT} {_Y4}$"),
+    ("d 'de' MMMM 'de' yyyy (pt)", rf"^{_D} de {_MON_PT} de {_Y4}$"),
+    ("d MMMM yyyy (nl)", rf"^{_D} {_MON_NL} {_Y4}$"),
 )
 
 TIME_REGEXES: tuple[tuple[str, str], ...] = (
@@ -187,7 +209,8 @@ DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
     _grp(r"^[A-Za-z]", "MMM d, yyyy", "MMMM d, yyyy"),
     # [A-Za-zÀ-ÿ]: French/Spanish months may open with an accented letter (août)
     _grp(r"^[0-9]{1,2} [A-Za-zÀ-ÿ]", "d MMM yyyy", "d MMMM yyyy",
-         "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)"),
+         "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)",
+         "d MMMM yyyy (it)", "d 'de' MMMM 'de' yyyy (pt)", "d MMMM yyyy (nl)"),
     _grp(r"^[0-9]{1,2}:", "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
          "HH:mm:ss z", "HH:mm:ss.S"),
 )

@@ -2118,20 +2118,24 @@ def _datetime_oracle_sql() -> str:
     )
     fr = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_FR) + "]"
     de = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_DE) + "]"
+    it = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_IT) + "]"
+    pt = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_PT) + "]"
+    nl = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_NL) + "]"
+    d_s = "CAST(day(o_orderdate) AS VARCHAR)"
+    y_s = "CAST(year(o_orderdate) AS VARCHAR)"
     return f"""
     WITH d AS (
-      SELECT CASE CAST(o_orderkey % 8 AS INTEGER)
+      SELECT CASE CAST(o_orderkey % 11 AS INTEGER)
         WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
         WHEN 1 THEN strftime(o_orderdate, '%-m/%-d/%Y')
         WHEN 2 THEN strftime(o_orderdate, '%d.%m.%Y')
         WHEN 3 THEN strftime(o_orderdate, '%-d-%b-%Y')
         WHEN 4 THEN strftime(o_orderdate, '%d/%m/%y')
-        WHEN 5 THEN CAST(day(o_orderdate) AS VARCHAR) || ' '
-                    || ({fr})[month(o_orderdate)] || ' '
-                    || CAST(year(o_orderdate) AS VARCHAR)
-        WHEN 6 THEN CAST(day(o_orderdate) AS VARCHAR) || '. '
-                    || ({de})[month(o_orderdate)] || ' '
-                    || CAST(year(o_orderdate) AS VARCHAR)
+        WHEN 5 THEN {d_s} || ' ' || ({fr})[month(o_orderdate)] || ' ' || {y_s}
+        WHEN 6 THEN {d_s} || '. ' || ({de})[month(o_orderdate)] || ' ' || {y_s}
+        WHEN 7 THEN {d_s} || ' ' || ({it})[month(o_orderdate)] || ' ' || {y_s}
+        WHEN 8 THEN {d_s} || ' de ' || ({pt})[month(o_orderdate)] || ' de ' || {y_s}
+        WHEN 9 THEN {d_s} || ' ' || ({nl})[month(o_orderdate)] || ' ' || {y_s}
         ELSE printf('%02d:%02d:%02d',
                     CAST(o_orderkey % 24 AS INTEGER),
                     CAST((o_orderkey * 7) % 60 AS INTEGER),
@@ -2146,30 +2150,44 @@ def _datetime_oracle_sql() -> str:
 @_register("datetime_patterns_orders", _datetime_oracle_sql())
 def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-date/time-pattern profiling (DateTimePatternRecognizer +
-    SystemDateTimePatternManager regex table) over an 8-format mixed
+    SystemDateTimePatternManager regex table) over an 11-format mixed
     column: ISO, unpadded/padded slash, dot, English-month-abbrev,
-    2-digit-year, FRENCH and GERMAN month-name dates (locale families from
-    the reference's DateRegexesGrouped.txt), and HH:mm:ss time values.
-    Ambiguous values (e.g. 04/03/95) resolve by cascade order identically
-    in both engines."""
-    from .functions.typeinfer import MONTHS_DE, MONTHS_FR
+    2-digit-year, FRENCH / GERMAN / ITALIAN / PORTUGUESE / DUTCH
+    month-name dates (locale families from the reference's
+    DateRegexesGrouped.txt), and HH:mm:ss time values.  Ambiguous values
+    resolve by cascade order identically in both engines — incl.
+    cross-LOCALE month collisions (it/fr 'novembre', pt/es 'agosto',
+    'abril'): November Italian dates classify as the earlier (fr)
+    pattern on BOTH sides, which is the reference's first-match-in-group
+    semantic, not a bug."""
+    from .functions.typeinfer import MONTHS_DE, MONTHS_FR, MONTHS_IT, MONTHS_NL, MONTHS_PT
     from .operators.profiling import datetime_pattern_frequency
 
     o = _read(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     d = F.col("o_orderdate")
-    fr_month = F.element_at(F.array(*[F.lit(m) for m in MONTHS_FR]), F.month(d))
-    de_month = F.element_at(F.array(*[F.lit(m) for m in MONTHS_DE]), F.month(d))
+
+    def _month(names):
+        return F.element_at(F.array(*[F.lit(m) for m in names]), F.month(d))
+
+    fr_month, de_month = _month(MONTHS_FR), _month(MONTHS_DE)
+    it_month, pt_month, nl_month = _month(MONTHS_IT), _month(MONTHS_PT), _month(MONTHS_NL)
     day_s = F.dayofmonth(d).cast("string")
     year_s = F.year(d).cast("string")
     mixed = o.select(
-        F.when(k % 8 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(k % 8 == 1, F.date_format("o_orderdate", "M/d/yyyy"))
-        .when(k % 8 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
-        .when(k % 8 == 3, F.date_format("o_orderdate", "d-MMM-yyyy"))
-        .when(k % 8 == 4, F.date_format("o_orderdate", "dd/MM/yy"))
-        .when(k % 8 == 5, F.concat(day_s, F.lit(" "), fr_month, F.lit(" "), year_s))
-        .when(k % 8 == 6, F.concat(day_s, F.lit(". "), de_month, F.lit(" "), year_s))
+        F.when(k % 11 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 11 == 1, F.date_format("o_orderdate", "M/d/yyyy"))
+        .when(k % 11 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .when(k % 11 == 3, F.date_format("o_orderdate", "d-MMM-yyyy"))
+        .when(k % 11 == 4, F.date_format("o_orderdate", "dd/MM/yy"))
+        .when(k % 11 == 5, F.concat(day_s, F.lit(" "), fr_month, F.lit(" "), year_s))
+        .when(k % 11 == 6, F.concat(day_s, F.lit(". "), de_month, F.lit(" "), year_s))
+        .when(k % 11 == 7, F.concat(day_s, F.lit(" "), it_month, F.lit(" "), year_s))
+        .when(
+            k % 11 == 8,
+            F.concat(day_s, F.lit(" de "), pt_month, F.lit(" de "), year_s),
+        )
+        .when(k % 11 == 9, F.concat(day_s, F.lit(" "), nl_month, F.lit(" "), year_s))
         .otherwise(
             F.format_string(
                 "%02d:%02d:%02d",

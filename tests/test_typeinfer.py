@@ -118,6 +118,40 @@ def test_datetime_regex_table_breadth(spark):
         assert got[v] == expected, (v, got[v], expected)
 
 
+def test_datetime_locale_families(spark):
+    """Round-4 widening: Italian / Portuguese / Dutch month-name families
+    (DateRegexesGrouped.txt locale groups), incl. the first-match-wins
+    semantics for cross-locale month collisions (it/fr 'novembre',
+    pt/es 'agosto' and 'abril' resolve to the EARLIER cascade entry on
+    both engines — the reference's in-group ordering)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.profiling import datetime_pattern_expr
+
+    cases = {
+        "4 marzo 2021": "d MMMM yyyy (it)",
+        "15 luglio 1999": "d MMMM yyyy (it)",
+        "12 de janeiro de 2020": "d 'de' MMMM 'de' yyyy (pt)",
+        "3 de outubro de 1987": "d 'de' MMMM 'de' yyyy (pt)",
+        "4 maart 2021": "d MMMM yyyy (nl)",
+        "28 augustus 2015": "d MMMM yyyy (nl)",
+        # collisions: earlier cascade entry wins, deterministically
+        "7 novembre 1995": "d MMMM yyyy (fr)",       # fr before it
+        "15 de agosto de 2020": "d 'de' MMMM 'de' yyyy (es)",  # es before pt
+        "1 de abril de 2020": "d 'de' MMMM 'de' yyyy (es)",
+        # case sensitivity: exact-case literals like the reference rows
+        "4 Marzo 2021": None,
+        "32 maart 2021": None,  # day out of range
+    }
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    got = {
+        r["v"]: r["p"]
+        for r in df.select("v", datetime_pattern_expr(F.col("v")).alias("p")).collect()
+    }
+    for v, expected in cases.items():
+        assert got[v] == expected, (v, got[v], expected)
+
+
 def test_is_date_is_time_combined(spark):
     from data_quality_spark.functions import typeinfer as ti
     from pyspark.sql import functions as F
