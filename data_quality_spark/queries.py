@@ -1795,17 +1795,41 @@ _PHONE_VOCAB = [
     "+44 20 7946 0958",    # United Kingdom
     "+81 3 1234 5678",     # Japan
     "12345",               # invalid
+    # round-4 breadth: wider NANPA table + Canada/Caribbean + carrier path
+    "(615) 555-0123",      # Nashville (Central-zone mapped entry)
+    "(780) 555-0101",      # Edmonton, AB (Canadian mapped entry)
+    "876-555-0199",        # Jamaica (Caribbean NANP member)
+    "+44 7700 900123",     # UK mobile — carrier resolves iff `phonenumbers` present
 ]
 
 
-def _phone_metadata_expected(v: str) -> tuple[str | None, str | None, str | None, int | None]:
-    """Pure-Python re-derivation of (type, geocode, timezone, country_code)
-    from the public tables — the oracle's ground truth, independent of the
-    Spark expressions under test."""
+def _phone_carrier_expected(v: str) -> str | None:
+    """Carrier ground truth through the `phonenumbers` reference port when
+    installed (the same source the Spark path consults), else None — NANP
+    numbers carry no carrier data regardless (portability), so only
+    non-NANP mobiles ever resolve."""
+    try:
+        import phonenumbers as pn
+        from phonenumbers import carrier as pc
+    except ImportError:
+        return None
+    try:
+        return pc.name_for_number(pn.parse(v, "US"), "en") or None
+    except pn.NumberParseException:
+        return None
+
+
+def _phone_metadata_expected(
+    v: str,
+) -> tuple[str | None, str | None, str | None, int | None, str | None]:
+    """Pure-Python re-derivation of (type, geocode, timezone, country_code,
+    carrier) from the public tables — the oracle's ground truth,
+    independent of the Spark expressions under test."""
     import re
 
     from .functions import phone_metadata as pm
 
+    carrier = _phone_carrier_expected(v)
     digits = re.sub(r"[^0-9]", "", v)
     nanp = re.match(
         r"^\+?1?[-. (]*([2-9][0-9]{2})[-. )]*([0-9]{3})[-. ]*([0-9]{4})$", v
@@ -1821,14 +1845,14 @@ def _phone_metadata_expected(v: str) -> tuple[str | None, str | None, str | None
         place, tz = pm.NANP_AREA_CODES.get(
             area, ("United States/Canada", "America/New_York")
         )
-        return ty, place, tz, 1
+        return ty, place, tz, 1, carrier
     if v.strip().startswith("+"):
         for width in (1, 2, 3):
             cc = int(digits[:width]) if len(digits) >= width else None
             if cc in pm.COUNTRY_CODES:
                 _r, name, tz = pm.COUNTRY_CODES[cc]
-                return "UNKNOWN", name, tz, cc
-    return None, None, None, None
+                return "UNKNOWN", name, tz, cc, carrier
+    return None, None, None, None, carrier
 
 
 def _phone_metadata_oracle_sql() -> str:
@@ -1853,7 +1877,8 @@ def _phone_metadata_oracle_sql() -> str:
       CASE idx {arms(0)} END AS num_type,
       CASE idx {arms(1)} END AS geocode,
       CASE idx {arms(2)} END AS tz,
-      CASE idx {arms(3)} END AS country_code
+      CASE idx {arms(3)} END AS country_code,
+      CASE idx {arms(4)} END AS carrier
     FROM p GROUP BY idx
     """
 
@@ -1865,8 +1890,11 @@ def phone_metadata_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     getCountryCodeForPhoneNumber) over a fixed phone vocabulary.
     Hash-verified: the oracle re-derives every value in pure Python from
     the public NANPA/ITU tables, independently of the Spark expressions.
-    (Carrier lookup is null-without-libphonenumber by design — NANP
-    numbers carry no carrier data; see phone_metadata.phone_carrier_name.)"""
+    The carrier column goes through `phone_metadata.phone_carrier_name`:
+    when the `phonenumbers` reference port is installed BOTH sides
+    resolve through it (UK-mobile vocab entry exercises a real lookup);
+    without it both sides document NONE — NANP numbers carry no carrier
+    data regardless (portability)."""
     from .functions import phone_metadata as pm
 
     n = len(_PHONE_VOCAB)
@@ -1886,6 +1914,7 @@ def phone_metadata_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(pm.phone_geocoder_description(p), none).alias("geocode"),
         F.coalesce(pm.phone_timezones(p), none).alias("tz"),
         F.coalesce(pm.phone_country_code(p).cast("string"), none).alias("country_code"),
+        F.coalesce(pm.phone_carrier_name(p), none).alias("carrier"),
     )
 
 
