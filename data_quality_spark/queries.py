@@ -2480,9 +2480,7 @@ def standardize_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Fixture mirroring the reference's SynonymIndexSearcherTest corpus
-# (synonyms4newoptions) and its query strings; expected hit-id lists are
-# computed at import time by the PURE-PYTHON matcher core (independent of
-# the Spark execution under test) and embedded in the oracle.
+# (synonyms4newoptions) and its query strings.
 _SYN_SEARCH_DOCS = [
     ("Dulux Trade", "ABC DEF"),
     ("GHI JKL", "Dulux Trade"),
@@ -2501,18 +2499,29 @@ _SYN_SEARCH_QUERIES = [
     "International Business", "ALMOND/WH", "QUICK FOX",
 ]
 
+# FROZEN expected ordered hit-id lists per (mode, query) — hand-vetted
+# against the reference's SynonymIndexSearcherTest hit sets (mirrored in
+# tests/test_sources_standardize.py) plus the coverage-desc/id-asc
+# ordering rule of SynonymIndexSearcher's scorer.  Deliberately NOT
+# computed by the matcher at import time (review finding: a self-derived
+# oracle only exercises the distributed plumbing); a unit test asserts
+# the pure-Python matcher core reproduces these literals, so matcher
+# drift fails pytest with a pointed message while the driver hash gate
+# stays independent of the code under test.
+_SYN_SEARCH_EXPECTED: dict[str, list[list[int]]] = {
+    #                 Dulux Trade       Trade            Big Blue  BusInt IntBus  ALM  QUICK FOX
+    "MATCH_ANY":     [[0, 1, 2, 4, 3], [0, 1, 2, 3, 4], [5, 6],   [5],   [5],   [7], [8, 9]],
+    "MATCH_ALL":     [[0, 1, 2, 4],    [0, 1, 2, 3, 4], [5, 6],   [5],   [5],   [7], [8, 9]],
+    "MATCH_PARTIAL": [[0, 1, 2],       [0, 1, 2, 3, 4], [5, 6],   [],    [5],   [7], [8, 9]],
+    "MATCH_ANY_FUZZY": [[0, 1, 2, 4, 3], [0, 1, 2, 3, 4], [5, 6], [5],   [5],   [7], [8, 9, 10]],
+}
+
 
 def _syn_search_oracle_sql() -> str:
-    from .operators.standardize import compile_synonym_entries, synonym_match_ids
-
-    compiled = compile_synonym_entries(_SYN_SEARCH_DOCS)
-
     def arms(mode: str) -> str:
         return " ".join(
-            "WHEN {} THEN '{}'".format(
-                i, ",".join(str(d) for d in synonym_match_ids(q, compiled, mode))
-            )
-            for i, q in enumerate(_SYN_SEARCH_QUERIES)
+            "WHEN {} THEN '{}'".format(i, ",".join(str(d) for d in ids))
+            for i, ids in enumerate(_SYN_SEARCH_EXPECTED[mode])
         )
 
     n = len(_SYN_SEARCH_QUERIES)
@@ -2534,9 +2543,10 @@ def synonym_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene search-mode parity (`SynonymIndexSearcher.java:196-229`
     MATCH_ANY/ALL/PARTIAL/ANY_FUZZY query builders) over the broadcast
     synonym dictionary: each constructed query string → ordered matching
-    doc-id list per mode.  Hash-verified against the pure-Python matcher
-    core, whose hit sets mirror SynonymIndexSearcherTest's expected
-    vectors (tests/test_sources_standardize.py)."""
+    doc-id list per mode.  Hash-verified against FROZEN expected lists
+    (_SYN_SEARCH_EXPECTED) vetted against SynonymIndexSearcherTest's hit
+    sets — independent of the matcher core, which a unit test separately
+    pins to the same literals (tests/test_sources_standardize.py)."""
     from .operators.standardize import synonym_search
 
     n = len(_SYN_SEARCH_QUERIES)

@@ -185,6 +185,30 @@ def test_synonym_search_modes_mirror_reference_vectors():
             assert got == want, f"{mode} {query!r}: got {got}, want {want}"
 
 
+def test_contract_fixture_frozen_lists_match_matcher():
+    """The contract oracle's FROZEN ordered hit lists (queries.py
+    _SYN_SEARCH_EXPECTED — deliberately not derived from the matcher)
+    must be exactly what the pure-Python matcher core produces; if the
+    matcher's semantics ever change intentionally, update the literals
+    and this test points at every divergence."""
+    from data_quality_spark.operators.standardize import (
+        compile_synonym_entries,
+        synonym_match_ids,
+    )
+    from data_quality_spark.queries import (
+        _SYN_SEARCH_DOCS,
+        _SYN_SEARCH_EXPECTED,
+        _SYN_SEARCH_QUERIES,
+    )
+
+    compiled = compile_synonym_entries(_SYN_SEARCH_DOCS)
+    for mode, per_query in _SYN_SEARCH_EXPECTED.items():
+        assert len(per_query) == len(_SYN_SEARCH_QUERIES)
+        for q, want in zip(_SYN_SEARCH_QUERIES, per_query):
+            got = synonym_match_ids(q, compiled, mode)
+            assert got == want, f"{mode} {q!r}: matcher={got}, frozen={want}"
+
+
 def test_synonym_search_ordering_and_distributed(spark):
     from data_quality_spark.operators.standardize import synonym_match_ids, synonym_search
     from data_quality_spark.operators.standardize import compile_synonym_entries
