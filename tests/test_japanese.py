@@ -33,6 +33,26 @@ def test_normalize_numbers_in_text():
     )
 
 
+def test_kuromoji_lite_reference_vectors():
+    """The kuromoji-lite lattice reproduces TextTokenizerTest's expected
+    tokenizations exactly (jp/tokenization/TextTokenizerTest.java:27-41)
+    — compound particle について kept whole, verb stem 食べ split from
+    auxiliary たい, honorific お split, latin runs preserved, punctuation
+    as tokens, whitespace delimiting but never emitted."""
+    vectors = {
+        "Talend Readlime Bigdata Platformの価格については、営業までお問い合わせください。": [
+            "Talend", "Readlime", "Bigdata", "Platform", "の", "価格",
+            "について", "は", "、", "営業", "まで", "お", "問い合わせ",
+            "ください", "。",
+        ],
+        "お寿司が食べたい。": ["お", "寿司", "が", "食べ", "たい", "。"],
+        "おsushiが食べたい。": ["お", "sushi", "が", "食べ", "たい", "。"],
+    }
+    for text, want in vectors.items():
+        assert JP.kuromoji_lite_tokenize(text) == want, text
+        assert JP.kuromoji_lite_tokenized_string(text) == " ".join(want)
+
+
 def test_spark_udfs(spark):
     df = spark.createDataFrame([("カタカナ テスト",), ("三百円",)], "t string")
     rows = df.select(
