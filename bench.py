@@ -95,6 +95,10 @@ HEADLINE = [
     "media_features",
     "ann_ivf_top3",
     "sessionize_events",
+    # round 4 additions
+    "umalqura_convert_orders",
+    "phone_metadata_customers",
+    "weighted_reservoir_orders",
 ]
 
 

@@ -182,6 +182,54 @@ def iso_to_hijri_tabular(c: Column) -> Column:
     )
 
 
+def iso_to_hijri_umalqura(c: Column) -> Column:
+    """ISO date → Umm al-Qura Hijri 'yyyy-MM-dd AH' with REFERENCE parity:
+    the month table is the JDK's java.time HijrahChronology data
+    (1300-1600 AH ≈ 1882-2077 CE; see functions/umalqura_table.py,
+    regenerable via scripts/gen_umalqura.py), i.e. the same authority the
+    reference's DateCalendarConverter consults
+    (`converters/DateCalendarConverter.java:32-39`).
+
+    O(1) pure-expression lookup, no join and no UDF: a mean-lunation
+    division guesses the month index — measured max drift 1 over the
+    whole table (asserted at generation time AND here), so a closed-form
+    three-way select (g+1 / g / g-1) lands it exactly.  The three-way
+    form is deliberate: iterative when-corrections nest the guess
+    subtree exponentially and overflow the JVM stack at plan
+    (de)serialization.  Dates outside the table → null (the chronology
+    itself is undefined there; the arithmetic `iso_to_hijri_tabular`
+    remains for unbounded input)."""
+    from .umalqura_table import MAX_IDX_DRIFT, MEAN_LUNATION, MONTH_STARTS, START_HY
+
+    assert MAX_IDX_DRIFT <= 1, "three-way select needs regeneration for drift > 1"
+    n = len(MONTH_STARTS)
+    t0 = MONTH_STARTS[0]
+    arr = F.lit(list(MONTH_STARTS))
+    d = F.unix_date(F.to_date(c))
+    g = F.floor((d - F.lit(t0)) / F.lit(MEAN_LUNATION)).cast("int")
+    g = F.greatest(F.lit(0), F.least(F.lit(n - 1), g))
+    idx = (
+        F.when(d >= F.element_at(arr, F.least(g + 2, F.lit(n))), F.least(g + 1, F.lit(n - 1)))
+        .when(d >= F.element_at(arr, g + 1), g)
+        .otherwise(F.greatest(g - 1, F.lit(0)))
+    )
+    start = F.element_at(arr, idx + 1)
+    hy = (F.lit(START_HY) + F.floor(idx / F.lit(12))).cast("int")
+    hm = (idx % 12 + 1).cast("int")
+    hd = (d - start + 1).cast("int")
+    # conservative table end: last month assumed 29 days (shortest legal)
+    in_range = (d >= F.lit(t0)) & (d <= F.lit(MONTH_STARTS[-1] + 28))
+    out = F.concat(
+        F.lpad(hy.cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(hm.cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(hd.cast("string"), 2, "0"),
+        F.lit(" AH"),
+    )
+    return F.when(in_range, out).otherwise(F.lit(None).cast("string"))
+
+
 def iso_to_minguo(c: Column) -> Column:
     """ISO date → Minguo (ROC) 'yyyy-MM-dd' string: year − 1911."""
     d = F.to_date(c)

@@ -1969,10 +1969,10 @@ def chronology_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DateCalendarConverter chronology path (`converters/
     DateCalendarConverter.java:32-39`): ISO → Minguo / ThaiBuddhist /
     Japanese-era / tabular-Islamic strings, all exact arithmetic
-    recomputed independently by the oracle.  Hijrah is the TABULAR
-    (Kuwaiti-algorithm) approximation — the reference's Umm al-Qura
-    tables deviate ±1-2 days; documented at
-    `functions/normalize.py:iso_to_hijri_tabular`."""
+    recomputed independently by the oracle.  Hijrah HERE is the TABULAR
+    (Kuwaiti-algorithm) approximation for unbounded input; the
+    reference-parity Umm al-Qura table path is its own hash-verified
+    query, `umalqura_convert_orders`."""
     from .functions.normalize import (
         iso_to_hijri_tabular,
         iso_to_japanese,
@@ -1988,6 +1988,62 @@ def chronology_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_to_thai_buddhist(d).alias("thai"),
         iso_to_japanese(d).alias("japanese"),
         iso_to_hijri_tabular(d).alias("hijri_tabular"),
+    )
+
+
+def _umalqura_oracle_sql() -> str:
+    """Lock-step-constants oracle: the SAME month-start table and the SAME
+    O(1) three-way index select, re-expressed in DuckDB SQL over a list
+    literal — independent of the Spark expression under test; the table
+    itself is JDK HijrahChronology data and the boundary vectors are
+    pinned against java.time directly (tests/test_functions.py)."""
+    from .functions.umalqura_table import MEAN_LUNATION, MONTH_STARTS, START_HY
+
+    n = len(MONTH_STARTS)
+    t0 = MONTH_STARTS[0]
+    lst = "[" + ",".join(str(x) for x in MONTH_STARTS) + "]"
+    return f"""
+    WITH s AS (SELECT {lst} AS arr),
+    t AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    gg AS (
+      SELECT o_orderkey, d,
+        greatest(0, least({n - 1},
+          CAST(floor((d - {t0}) / {MEAN_LUNATION!r}) AS INTEGER))) AS g
+      FROM t
+    ),
+    ii AS (
+      SELECT o_orderkey, d,
+        CASE WHEN d >= arr[least(g + 2, {n})] THEN least(g + 1, {n - 1})
+             WHEN d >= arr[g + 1] THEN g
+             ELSE greatest(g - 1, 0) END AS idx
+      FROM gg, s
+    )
+    SELECT o_orderkey,
+      lpad(CAST({START_HY} + idx // 12 AS VARCHAR), 4, '0') || '-' ||
+      lpad(CAST(idx % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+      lpad(CAST(d - arr[idx + 1] + 1 AS VARCHAR), 2, '0') || ' AH' AS hijri_umalqura
+    FROM ii, s
+    """
+
+
+@_register("umalqura_convert_orders", _umalqura_oracle_sql())
+def umalqura_convert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO → Umm al-Qura Hijrah with REFERENCE parity (java.time
+    HijrahChronology table, `converters/DateCalendarConverter.java:32-39`)
+    — upgrades the documented ±1-2-day tabular approximation in
+    `chronology_convert_orders` to the real Saudi calendar over its
+    defined 1300-1600 AH range.  Pure O(1) expression (no join/UDF); see
+    `functions/normalize.py:iso_to_hijri_umalqura`."""
+    from .functions.normalize import iso_to_hijri_umalqura
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        iso_to_hijri_umalqura(F.col("o_orderdate")).alias("hijri_umalqura"),
     )
 
 

@@ -176,6 +176,70 @@ def test_hijri_tabular_known_dates(spark):
         assert r["h"] == r["want"], (r["want"], r["h"])
 
 
+def test_hijri_umalqura_java_time_vectors(spark):
+    """REFERENCE-parity Hijrah: `iso_to_hijri_umalqura` pinned against
+    java.time HijrahChronology outputs (generated with the local JDK —
+    the same chronology `DateCalendarConverter.java:32-39` consults),
+    including both table boundaries (1300-01-01 AH / 1500-12-30 AH era
+    dates) and well-known announced dates (1 Ramadan 1444 = 2023-03-23,
+    1 Muharram 1447 = 2025-06-26).  Out-of-table dates → null."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.normalize import iso_to_hijri_umalqura
+
+    cases = {
+        "1882-11-12": "1300-01-01 AH",  # chronology lower bound
+        "1900-01-01": "1317-08-29 AH",
+        "1945-08-15": "1364-09-07 AH",
+        "1969-07-20": "1389-05-05 AH",
+        "1992-01-01": "1412-06-25 AH",
+        "1995-06-17": "1416-01-18 AH",
+        "1998-08-02": "1419-04-09 AH",
+        "2000-01-01": "1420-09-24 AH",
+        "2023-03-23": "1444-09-01 AH",  # 1 Ramadan 1444 (announced)
+        "2023-04-21": "1444-10-01 AH",  # Eid al-Fitr 1444
+        "2024-03-11": "1445-09-01 AH",
+        "2025-03-01": "1446-09-01 AH",
+        "2025-06-26": "1447-01-01 AH",  # 1 Muharram 1447 (announced)
+        "2077-11-16": "1500-12-30 AH",
+        "1800-01-01": None,
+        "2200-01-01": None,
+    }
+    df = spark.createDataFrame([(k, v) for k, v in cases.items()], "d string, want string")
+    for r in df.select("want", iso_to_hijri_umalqura(F.col("d")).alias("h")).collect():
+        assert r["h"] == r["want"], (r["want"], r["h"])
+
+
+def test_hijri_umalqura_dense_table_replay(spark):
+    """Plumbing check across every month boundary: the Spark O(1)
+    expression must equal a pure-Python bisect over the same table for
+    the 1st/2nd/last day of every month in the table (10k+ dates)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.normalize import iso_to_hijri_umalqura
+    from data_quality_spark.functions.umalqura_table import MONTH_STARTS, START_HY
+
+    rows = []
+    epoch = dt.date(1970, 1, 1)
+    for i, s in enumerate(MONTH_STARTS):
+        nxt = MONTH_STARTS[i + 1] if i + 1 < len(MONTH_STARTS) else s + 29
+        hy, hm = START_HY + i // 12, i % 12 + 1
+        for d, hd in ((s, 1), (s + 1, 2), (nxt - 1, nxt - s)):
+            rows.append(
+                (
+                    (epoch + dt.timedelta(days=d)).isoformat(),
+                    f"{hy:04d}-{hm:02d}-{hd:02d} AH",
+                )
+            )
+    df = spark.createDataFrame(rows, "d string, want string")
+    bad = df.select(
+        "d", "want", iso_to_hijri_umalqura(F.col("d")).alias("h")
+    ).filter("h IS DISTINCT FROM want")
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 def test_chronology_reference_vectors(spark):
     """Pin the reference's DateCalendarConverterTest vectors for ISO
     1996-10-29 (`converters/DateCalendarConverterTest.java:95-127`):
