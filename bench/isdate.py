@@ -102,7 +102,7 @@ def main() -> None:
 ## isDate / getDatePatterns throughput (reference floor: PerformanceTest.java)
 
 One core (local[1]), 100k-value mixed column (8 date/time formats + 20%
-non-dates), classifier covering {res['formats']} formats incl. FR/DE/ES
+non-dates), classifier covering {res['formats']} formats incl. FR/DE/ES/IT/PT/NL
 month names; warm best-of-3, scan included.
 
 | op | reference floor | measured | verdict |

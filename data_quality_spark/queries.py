@@ -2288,7 +2288,7 @@ def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_oracle_sql() -> str:
+def _media_replay_sql() -> str:
     """Independent ground truth for the media pipeline: replay the payload
     SPEC (`synth_media_spec` — pure Python, no Spark) and derive byte_len /
     sha256 / magic / feature checksum with hashlib alone.  Whatever the
@@ -2316,6 +2316,16 @@ def _media_oracle_sql() -> str:
   {vals}
     ) AS t(media_id, kind, byte_len, sha256, magic, feat_dim, feat_checksum)
     """
+
+
+def _media_oracle_sql() -> str:
+    """FROZEN spec-replay oracle: scripts/pin_oracles.py snapshots the
+    pure-Python replay text into pinned_oracles.py, so a drive-by change to
+    the shared payload spec (`synth_media_spec` / `sniff_mime`) FAILS parity
+    instead of silently regenerating both sides of the compare (same device
+    as the frozen synonym-search hit lists).  Falls back to the live replay
+    only while pins are being regenerated."""
+    return _pinned_sql("MEDIA_FEATURES_SQL") or _media_replay_sql()
 
 
 @_register("media_features", _media_oracle_sql())
