@@ -99,6 +99,7 @@ HEADLINE = [
     "umalqura_convert_orders",
     "phone_metadata_customers",
     "weighted_reservoir_orders",
+    "mx_verify_customer",
 ]
 
 

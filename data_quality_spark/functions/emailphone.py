@@ -3,10 +3,12 @@
 Email — the reference runs a fluent chain of checkers, first-fail wins,
 verdicts VALID/INVALID/CORRECTED/VERIFIED/REJECTED (`email/api/EmailVerify.
 java:43-131`).  Ours is the same chain as a `when()` cascade: native, one
-pass, short-circuit.  The live SMTP/DNS callback checker
-(`CallbackMailServerCheckerImpl.java`) is a documented exclusion — a
-non-deterministic network side effect has no place in a reproducible
-pipeline.
+pass, short-circuit.  The SMTP/DNS callback checker
+(`CallbackMailServerCheckerImpl.java`) lives in `mailserver.py` with the
+network fully injected (resolver + transport): the protocol semantics are
+deterministic and hash-verified over a fixture world; the LIVE probe path
+ships disabled — a non-deterministic network side effect has no place in
+a reproducible pipeline run.
 
 Phone — the reference wraps libphonenumber (`phone/.../PhoneNumberHandlerBase.
 java:54-423`).  We provide regex-based structural validation + E164/intl/

@@ -769,6 +769,62 @@ def email_chain_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mx_verify_customer",
+    """
+    WITH e AS (
+      SELECT c_custkey,
+        CASE
+          WHEN c_custkey % 11 = 0 THEN 'not-an-email'
+          WHEN c_custkey % 11 = 1 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@site.photos'
+          ELSE 'user' || CAST(c_custkey AS VARCHAR) || '@d'
+               || repeat('x', CAST(c_custkey % 7 AS INTEGER)) || '.com'
+        END AS email
+      FROM customer
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, email,
+      CASE
+        WHEN NOT regexp_matches(email, '^[a-zA-Z0-9._%-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,4}$')
+          THEN 'REJECTED'
+        WHEN length(split_part(email, '@', 2)) % 5 IN (1, 3) THEN 'VERIFIED'
+        ELSE 'REJECTED'
+      END AS mx_verdict
+    FROM e
+    """,
+)
+def mx_verify_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CallbackMailServerChecker semantics (`email/checkerImpl/
+    CallbackMailServerCheckerImpl.java:48-395`) over the deterministic
+    fixture DNS/SMTP world (`functions/mailserver.py`): loose-syntax gate,
+    MX lookup with preference order, and the full 220/EHLO/MAIL FROM/
+    RCPT TO dialogue — including the unreachable-exchanger failover path —
+    run for each DISTINCT address via mapInPandas, then broadcast-joined
+    back onto the rows (at 10^12 rows the distinct-address set, not the
+    row count, bounds probe volume).  The oracle does NOT run the
+    protocol: it replays what the fixture-world SPEC implies per domain
+    class (len(domain) % 5 → no-MX / failover-accept / greet-not-ready /
+    accept / EHLO-refused), so a protocol-machinery bug that flips any
+    verdict breaks the hash."""
+    from .functions.mailserver import fixture_connect, fixture_resolver, verify_emails
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    domain = F.concat(
+        F.lit("d"), F.expr("repeat('x', CAST(c_custkey % 7 AS INT))"), F.lit(".com")
+    )
+    email = (
+        F.when(k % 11 == 0, F.lit("not-an-email"))
+        .when(k % 11 == 1, F.concat(F.lit("user"), ks, F.lit("@site.photos")))
+        .otherwise(F.concat(F.lit("user"), ks, F.lit("@"), domain))
+    )
+    base = cust.select(k.cast("long").alias("c_custkey"), email.alias("email"))
+    verdicts = verify_emails(base, "email", fixture_resolver, fixture_connect)
+    return base.join(F.broadcast(verdicts), "email").select(
+        "c_custkey", "email", "mx_verdict"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Survivorship (Drools rules → aggregate expressions, SURVEY.md §2.9)
 # ---------------------------------------------------------------------------
