@@ -100,6 +100,8 @@ HEADLINE = [
     "phone_metadata_customers",
     "weighted_reservoir_orders",
     "mx_verify_customer",
+    "url_canonical_dedup",
+    "line_dedup_docs",
 ]
 
 

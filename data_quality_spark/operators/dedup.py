@@ -451,3 +451,79 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Remove boilerplate lines that repeat across the corpus (the CCNet
+    line-dedup stage: headers, footers, nav chrome dominate crawled HTML
+    text).  Spec — deterministic, order-free, reproduced verbatim by the
+    DuckDB oracle in `queries.py`:
+
+    - a document's lines are `split(text, '\\n')`;
+    - a line's dedup key is `trim(line)`; blank keys are NEVER counted or
+      removed (paragraph structure survives);
+    - a non-blank line is dropped iff its key occurs >= `min_count` times
+      corpus-wide (ALL copies drop — frequency marks boilerplate; CCNet's
+      keep-first variant needs a global order, which at 10^12 docs costs
+      a sort for no quality gain);
+    - survivors rejoin in original order with '\\n'.
+
+    Returns (id, n_lines, n_kept, cleaned_text).
+
+    Scale shape: the frequency table aggregates `(trim(line))` keys with
+    map-side combine, then filters to keys with count >= min_count — the
+    boilerplate vocabulary, which is tiny relative to the corpus — so AQE
+    broadcasts it into the anti-join and document lines never shuffle for
+    the join.  The only full-width shuffle is the per-doc reassembly
+    groupBy(id).  (At 10^12 docs the count agg shuffles distinct line
+    keys once; carrying xxhash64(key) instead would shrink that further
+    but makes output correctness collision-dependent — exactness wins.)
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).select("_id", "_pos", "_line", F.trim(F.col("_line")).alias("_k"))
+
+    frequent = (
+        lines.filter(F.col("_k") != "")
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_k")
+    )
+
+    kept = lines.join(frequent, "_k", "left_anti")
+    reassembled = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+    )
+    return (
+        totals.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

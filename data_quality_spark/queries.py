@@ -3044,3 +3044,212 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("reasons", "|").alias("reasons"),
         F.md5(F.col("scrubbed_text")).alias("scrub_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (webtext extension; operators/urltools.py)
+# ---------------------------------------------------------------------------
+
+def _url_dedup_oracle_sql() -> str:
+    from .operators.urltools import MULTI_SUFFIXES, TRACKING_PARAM_RX, URL_RX
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 10 < 5 THEN 'Site' ELSE 'site' END) || CAST(doc_id % 7 AS VARCHAR)
+        || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org' ELSE '.com.au' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END)
+        || '/Article/' || CAST(doc_id % 10 AS VARCHAR)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE doc_id % 8
+             WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+             WHEN 2 THEN '?b=2&a=1'
+             WHEN 3 THEN '?a=1&b=2'
+             ELSE '' END)
+        || (CASE WHEN doc_id % 9 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+        AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '{URL_RX}', 1)) AS scheme,
+        lower(regexp_extract(url, '{URL_RX}', 2)) AS auth,
+        regexp_extract(url, '{URL_RX}', 3) AS pth,
+        regexp_extract(url, '{URL_RX}', 4) AS qry
+      FROM pages
+    ),
+    canon AS (
+      SELECT doc_id, url,
+        scheme || '://' || host || path_c
+          || (CASE WHEN query_c = '' THEN '' ELSE '?' || query_c END) AS canonical_url
+      FROM (
+        SELECT doc_id, url, scheme,
+          regexp_replace(
+            CASE WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                 ELSE auth END,
+            '^www\\.', '') AS host,
+          CASE WHEN regexp_replace(pth, '/+$', '') = ''
+               THEN '/' ELSE regexp_replace(pth, '/+$', '') END AS path_c,
+          COALESCE(array_to_string(list_sort(list_filter(string_split(qry, '&'),
+            x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RX}'))), '&'),
+            '') AS query_c
+        FROM parts
+      )
+    ),
+    grp AS (
+      SELECT canonical_url,
+        CAST(count(*) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        CAST(min(doc_id) AS BIGINT) AS kept_id
+      FROM canon GROUP BY canonical_url
+    )
+    SELECT canonical_url,
+      CASE WHEN len(labels) >= 3
+                AND (list_extract(labels, -2) || '.' || list_extract(labels, -1)) IN ({suffixes})
+           THEN list_extract(labels, -3) || '.' || list_extract(labels, -2)
+                || '.' || list_extract(labels, -1)
+           WHEN len(labels) >= 2
+           THEN list_extract(labels, -2) || '.' || list_extract(labels, -1)
+           ELSE hostx END AS domain,
+      n_urls, n_raw_forms, kept_id
+    FROM (
+      SELECT *,
+        regexp_replace(regexp_extract(canonical_url,
+          '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '') AS hostx,
+        string_split(regexp_replace(regexp_extract(canonical_url,
+          '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''), '.') AS labels
+      FROM grp
+    )
+    """
+
+
+@_register("url_canonical_dedup", _url_dedup_oracle_sql())
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over a deterministic messy-URL fixture
+    (scheme/case/`www.`/default-port/tracking-param/param-order/trailing-
+    slash/fragment variants generated from doc_id): one row per canonical
+    URL with group size, distinct raw spellings, registered domain, and
+    the kept (min-id) page.  The canonical key has period 280 in doc_id,
+    so the 500-doc sf0.01 fixture yields real multi-URL groups.  First
+    dedup stage of a crawl pipeline — runs before any content hashing;
+    no reference analog (the reference's dedup starts at record matching,
+    `matchmerge/MatchMergeAlgorithm.java:1`); shuffle carries
+    (canonical_url, id, raw_url) only."""
+    from .operators.urltools import registered_domain, url_duplicate_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 3 == 0, F.lit("WWW."))
+        .when(i % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.when(i % 10 < 5, F.lit("Site")).otherwise(F.lit("site")),
+        s(i % 7),
+        F.when(i % 4 == 0, F.lit(".com"))
+        .when(i % 4 == 1, F.lit(".co.uk"))
+        .when(i % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".com.au")),
+        F.when(
+            i % 5 == 0,
+            F.when(i % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/Article/"),
+        s(i % 10),
+        F.when(i % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 8 == 0, F.concat(F.lit("?utm_source=feed&id="), s(i % 5)))
+        .when(i % 8 == 1, F.concat(F.lit("?id="), s(i % 5), F.lit("&utm_campaign=x")))
+        .when(i % 8 == 2, F.lit("?b=2&a=1"))
+        .when(i % 8 == 3, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(i % 9 == 0, F.concat(F.lit("#sec"), s(i % 3))).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    groups = url_duplicate_groups(pages, "url", "doc_id")
+    host = F.regexp_extract(
+        F.col("canonical_url"), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1
+    )
+    return groups.select(
+        "canonical_url",
+        registered_domain(host).alias("domain"),
+        "n_urls",
+        "n_raw_forms",
+        "kept_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (CCNet boilerplate removal; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_SQL = """
+    WITH pages AS (
+      SELECT doc_id,
+        '=== site' || CAST(doc_id % 7 AS VARCHAR) || ' header ===' || chr(10)
+        || regexp_replace(text, '\\. ', '.' || chr(10), 'g') || chr(10)
+        || 'copyright ' || CAST(doc_id % 3 AS VARCHAR) AS text
+      FROM documents
+    ),
+    l2 AS (
+      SELECT doc_id, s.ord AS ord, s.line AS line, trim(s.line) AS k
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(string_split(text, chr(10)),
+                                (x, i) -> struct_pack(ord := i, line := x))) AS s
+        FROM pages
+      )
+    ),
+    freq AS (SELECT k FROM l2 WHERE k <> '' GROUP BY k HAVING count(*) >= 5),
+    kept AS (SELECT doc_id, ord, line FROM l2
+             WHERE k = '' OR k NOT IN (SELECT k FROM freq)),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(list(line ORDER BY ord), chr(10)) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+      CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines,
+      COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+      md5(COALESCE(a.cleaned, '')) AS clean_md5
+    FROM pages p LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_register("line_dedup_docs", _LINE_DEDUP_SQL)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup over a boilerplate-heavy
+    fixture: every doc gets a shared site header (period 7) and copyright
+    footer (period 3), and its body is split into sentence lines; lines
+    whose trimmed form occurs >= 5 times corpus-wide are dropped from ALL
+    docs (frequency marks boilerplate), blanks survive.  Output is
+    per-doc line counts plus an md5 of the cleaned text (compact-pin
+    convention, same device as the flagship's scrub_md5).  The frequent
+    set is tiny → AQE broadcasts the anti-join; see
+    `operators/dedup.py:corpus_line_dedup` for the 10^12-doc shape."""
+    from .operators.dedup import corpus_line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("=== site"),
+            (i % 7).cast("string"),
+            F.lit(" header ===\n"),
+            F.regexp_replace(F.col("text"), r"\. ", ".\n"),
+            F.lit("\ncopyright "),
+            (i % 3).cast("string"),
+        ).alias("text"),
+    )
+    out = corpus_line_dedup(pages, "text", "doc_id", min_count=5)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("clean_md5")
+    )
