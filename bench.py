@@ -102,6 +102,8 @@ HEADLINE = [
     "mx_verify_customer",
     "url_canonical_dedup",
     "line_dedup_docs",
+    "dedup_clusters_global",
+    "contamination_docs",
 ]
 
 

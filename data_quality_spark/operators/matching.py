@@ -399,12 +399,17 @@ def cluster_matches(
 ) -> DataFrame:
     """Matched pairs → connected-component cluster ids, fully distributed.
 
-    Iterative min-label propagation: every node's label becomes the min of
-    its own and its neighbors' labels; converges in O(component diameter)
-    rounds (matched near-dup components are shallow — typically 2-3 rounds).
-    This replaces the reference's order-sensitive in-memory MFB queue
-    (`matchmerge/mfb/MFB.java:113-147`) with an order-independent fixpoint —
-    deterministic under any partitioning, no driver-side state.
+    Iterative min-label propagation WITH pointer jumping: each round a
+    node's label becomes the min of (its own label, its neighbors' labels,
+    its label's label).  The neighbor step alone converges in O(component
+    diameter) rounds — fatal for chain-shaped components (a 10^6-doc
+    recrawl chain would need 10^6 rounds); the pointer-jump step halves
+    the remaining label-tree depth each round, so convergence is
+    O(log diameter) and `max_iter=20` covers components a million hops
+    deep.  Raises on non-convergence rather than returning silently-wrong
+    labels.  This replaces the reference's order-sensitive in-memory MFB
+    queue (`matchmerge/mfb/MFB.java:113-147`) with an order-independent
+    fixpoint — deterministic under any partitioning, no driver-side state.
 
     Output: (id, cluster_id) with cluster_id = min id of the component.
     """
@@ -414,11 +419,19 @@ def cluster_matches(
         .distinct()
         .cache()  # re-read every round: never recompute the matching lineage
     )
+    # localCheckpoint (not cache) each round: the round body references
+    # `labels` three times (neighbor join, pointer jump, convergence
+    # check), so the logical plan TRIPLES per round without lineage
+    # truncation — plan-tree serialization OOMs the driver near round ~10
+    # even though cache bounds the recompute.  localCheckpoint keeps the
+    # materialized rows executor-local (labels is one row per matched id,
+    # tiny next to the corpus); lineage-based recovery of a lost partition
+    # is traded for a rerun of the (cheap) clustering job.
     labels = (
         edges.select(F.col("x").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -427,16 +440,31 @@ def cluster_matches(
             .agg(F.min("cluster_id").alias("nmin"))
             .withColumnRenamed("x", "id")
         )
+        # pointer jump: label(label(id)) — shrinks label-tree depth
+        # geometrically; labels is (nodes) rows, far smaller than edges
+        jump = (
+            labels.alias("l1")
+            .join(
+                labels.select(
+                    F.col("id").alias("cluster_id"), F.col("cluster_id").alias("jmin")
+                ).alias("l2"),
+                "cluster_id",
+            )
+            .select("id", "jmin")
+        )
         new_labels = (
             labels.join(neighbor_min, "id", "left")
+            .join(jump, "id", "left")
             .select(
                 "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
+                    F.coalesce(F.col("jmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
             )
         )
-        new_labels = new_labels.cache()
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -444,10 +472,15 @@ def cluster_matches(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise ValueError(
+            f"cluster_matches did not converge in {max_iter} rounds "
+            "(component label-tree deeper than 2^max_iter — raise max_iter)"
+        )
     edges.unpersist()
     return labels
 

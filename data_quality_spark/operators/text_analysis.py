@@ -69,6 +69,62 @@ def fingerprint_overlap(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b))
 
 
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-contamination check (the decontamination
+    stage of a training-data pipeline): fraction of each document's
+    distinct word n-grams that also occur in a benchmark/eval corpus.
+    Documents with high overlap leak evaluation data into training and
+    must be dropped.  No reference analog (the reference validates field
+    values, not corpus overlap) — this is one of the pipeline extensions.
+
+    `benchmark` is a one-column DataFrame of benchmark texts (column
+    `text_col`); its distinct shingle set is broadcast — eval suites are
+    KBs-to-MBs against a 100 TB corpus, so the corpus side never shuffles
+    for the membership test.  The only shuffle is the per-doc hit
+    re-aggregation of (id) pairs after the explode.
+
+    Output: (id, n_shingles, n_hits, contamination) with
+    contamination = n_hits / n_shingles (0.0 for docs with no shingles).
+    """
+    from .dedup import word_shingles
+
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_sh")
+        ).distinct()
+    )
+    doc_sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(word_shingles(F.col(text_col), n)).cast("bigint").alias("n_shingles"),
+    )
+    return totals.join(hits, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.greatest(F.col("n_shingles"), F.lit(0).cast("bigint")).alias("n_shingles"),
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")) / F.col("n_shingles"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+    )
+
+
 def doc_signature_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3253,3 +3253,145 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("clean_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global connected components (dedup-graph clustering; operators/matching.py)
+# ---------------------------------------------------------------------------
+
+_GLOBAL_CC_SQL = """
+    WITH RECURSIVE k1 AS (
+      SELECT doc_id, length(text) % 24 AS k FROM documents
+    ),
+    e1 AS (
+      SELECT doc_id AS a,
+             lead(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS b
+      FROM k1
+    ),
+    k2 AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, ' ', ''))) % 17 AS k
+      FROM documents
+    ),
+    e2 AS (
+      SELECT doc_id AS a,
+             lead(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS b
+      FROM k2
+    ),
+    edges AS (
+      SELECT a, b FROM e1 WHERE b IS NOT NULL
+      UNION SELECT b, a FROM e1 WHERE b IS NOT NULL
+      UNION SELECT a, b FROM e2 WHERE b IS NOT NULL
+      UNION SELECT b, a FROM e2 WHERE b IS NOT NULL
+    ),
+    comp(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, c.lbl FROM comp c JOIN edges e ON e.b = c.id
+      WHERE c.lbl < e.a
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM comp GROUP BY id
+    """
+
+
+@_register("dedup_clusters_global", _GLOBAL_CC_SQL)
+def dedup_clusters_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global connected components over a deterministic cross-key match
+    graph: two content-derived blocking generators (text length mod 24,
+    space count mod 17) each chain their group's docs by id, and the two
+    edge sets overlap — components span blocking keys, so only TRUE
+    transitive closure labels them (the per-block CC shortcut of
+    `record_clusters_parts` cannot).  This is the whole-corpus dedup-graph
+    case of a web crawl, where near-dup pairs from MinHash/SimHash banding
+    chain across buckets.  Spark side: `cluster_matches` — iterative
+    min-label propagation with pointer jumping, O(log diameter) rounds
+    (`operators/matching.py`; replaces the reference's in-memory queue,
+    `matchmerge/mfb/MFB.java:113-147`).  Oracle side: DuckDB recursive-CTE
+    transitive closure — an INDEPENDENT formulation of the same fixpoint.
+    Chain edges make component diameters tens of hops at sf0.01, so the
+    query genuinely exercises multi-round convergence."""
+    from pyspark.sql.window import Window
+
+    from .operators.matching import cluster_matches
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    k1 = (F.length(t) % 24).alias("k")
+    k2 = ((F.length(t) - F.length(F.regexp_replace(t, " ", ""))) % 17).alias("k")
+
+    def chain_edges(keyed: DataFrame) -> DataFrame:
+        w = Window.partitionBy("k").orderBy("doc_id")
+        return (
+            keyed.select("doc_id", "k", F.lead("doc_id").over(w).alias("nxt"))
+            .filter(F.col("nxt").isNotNull())
+            .select(F.col("doc_id").alias("id_a"), F.col("nxt").alias("id_b"))
+        )
+
+    edges = chain_edges(docs.select("doc_id", k1)).union(
+        chain_edges(docs.select("doc_id", k2))
+    )
+    labels = cluster_matches(edges)
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/text_analysis.py)
+# ---------------------------------------------------------------------------
+
+_CONTAMINATION_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_LWORDS} AS lws FROM documents
+    ),
+    s AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM w
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM (SELECT doc_id, unnest(sh) AS g FROM s) d
+      JOIN bsh USING (g)
+      GROUP BY doc_id
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+      CAST(len(sh) AS BIGINT) AS n_shingles,
+      COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      CASE WHEN len(sh) > 0
+           THEN COALESCE(h.n_hits, CAST(0 AS BIGINT)) / CAST(len(sh) AS BIGINT)
+           ELSE 0.0 END AS contamination
+    FROM s LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@_register("contamination_docs", _CONTAMINATION_SQL)
+def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct word
+    3-grams shared with a benchmark corpus (here the deterministic fixture
+    benchmark = every 50th doc's text — those docs score 1.0, the rest
+    measure vocabulary bleed).  The benchmark shingle set is broadcast;
+    the corpus never shuffles for the membership test (see
+    `operators/text_analysis.py:benchmark_contamination` for the 100 TB
+    shape).  No reference analog — training-pipeline extension."""
+    from .operators.text_analysis import benchmark_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    out = benchmark_contamination(docs, bench, "text", "doc_id", n=3)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_shingles",
+        "n_hits",
+        "contamination",
+    )

@@ -223,3 +223,26 @@ def test_lsh_multiprobe_recall_improves(spark):
     r0, r4 = recall(0), recall(4)
     assert r4 >= r0
     assert r4 >= 0.9  # probing the 4 most uncertain bits recovers ~all planted pairs
+
+
+def test_benchmark_contamination_semantics(spark):
+    from data_quality_spark.operators.text_analysis import benchmark_contamination
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),  # benchmark doc
+        (2, "the quick brown fox sleeps all day long today"),  # partial overlap
+        (3, "completely unrelated words appear here instead now"),  # none
+        (4, "hi"),  # < 3 words -> no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 1").select("text")
+    out = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(df, bench, "text", "doc_id").collect()
+    }
+    assert out[1]["contamination"] == 1.0
+    # doc 2 (9 words -> 7 shingles) shares exactly 'the quick brown' +
+    # 'quick brown fox'
+    assert (out[2]["n_hits"], out[2]["n_shingles"]) == (2, 7)
+    assert out[3]["n_hits"] == 0 and out[3]["contamination"] == 0.0
+    assert out[4]["n_shingles"] == 0 and out[4]["contamination"] == 0.0

@@ -93,6 +93,29 @@ def test_cluster_chain_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_cluster_long_chain_pointer_jumping(spark):
+    # a 60-node chain has diameter 59: neighbor-min alone would need 59
+    # rounds; pointer jumping must converge within max_iter=10 (O(log d))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in M.cluster_matches(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_cluster_matches_raises_on_nonconvergence(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        M.cluster_matches(pairs, max_iter=2)
+
+
 def test_tokenized_modes_exact_vectors():
     from data_quality_spark.operators.matching import (
         _anyorder,
