@@ -440,18 +440,24 @@ def cluster_matches(
             .agg(F.min("cluster_id").alias("nmin"))
             .withColumnRenamed("x", "id")
         )
-        # pointer jump: label(label(id)) — shrinks label-tree depth
-        # geometrically; labels is (nodes) rows, far smaller than edges
-        jump = (
-            labels.alias("l1")
-            .join(
-                labels.select(
-                    F.col("id").alias("cluster_id"), F.col("cluster_id").alias("jmin")
-                ).alias("l2"),
-                "cluster_id",
-            )
-            .select("id", "jmin")
+        # pointer jump, applied twice: label(label(label(label(id)))) —
+        # shrinks label-tree depth to ~1/4 per round.  Each application is
+        # a self-join on labels (one row per matched id, far smaller than
+        # edges), so two in-job joins are much cheaper than the extra
+        # ROUNDS they save: every round costs a fixed localCheckpoint job
+        # + scheduling latency, which dominates at the tiny per-round data
+        # sizes of a converging label table.
+        lut = labels.select(
+            F.col("id").alias("_t"), F.col("cluster_id").alias("_n")
         )
+        jump = labels.select("id", F.col("cluster_id").alias("jmin"))
+        for _ in range(2):
+            jump = (
+                jump.join(lut, jump["jmin"] == lut["_t"], "left")
+                .select("id", F.coalesce("_n", "jmin").alias("jmin"))
+            )
+        # carry the previous label through the checkpoint so convergence is
+        # a cheap filter on the materialized rows, not an extra join job
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .join(jump, "id", "left")
@@ -462,17 +468,14 @@ def cluster_matches(
                     F.coalesce(F.col("nmin"), F.col("cluster_id")),
                     F.coalesce(F.col("jmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("_prev"),
             )
         )
         new_labels = new_labels.localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("cluster_id") != F.col("_prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             break
     else:
