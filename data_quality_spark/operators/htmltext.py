@@ -1,0 +1,193 @@
+"""HTML → main-text extraction for Common-Crawl-style pages.
+
+The north-star input shape carries `html:binary` next to `text:string`
+with a per-row invariant of byte-identical extracted text per url.  This
+module is the extraction stage that produces that `text` column from the
+raw markup: an ordered, deterministic regexp cascade (drop head/script/
+style/nav/footer/aside boilerplate blocks, strip comments, map block
+tags to newlines, strip remaining tags, decode the basic entity set,
+normalize whitespace).
+
+Design:
+
+- :func:`extract_text_expr` — the hot path: a pure Catalyst
+  ``regexp_replace``/``replace`` cascade (JVM, codegen'd, zero Python)
+  that rides the scan at 10^12 pages — no shuffle, no UDF.
+- :func:`extract_text_str` — the same ordered substitutions as a pure
+  Python function (compiled once per worker), exposed for the Arrow UDF
+  twin, unit vectors, and byte-level parity tests.
+- the DuckDB oracle twin is generated from the SAME pattern constants
+  (`queries.py:html_extract_pages`), so Spark(Java regex), Python `re`,
+  and DuckDB(RE2) are compared byte-for-byte on the fixture corpus.
+
+Patterns are restricted to the Java/`re`/RE2 common subset (no
+backrefs, no lookaround; ``\\b`` is the ASCII word boundary in all
+three; inline ``(?is)`` flags supported by all three).  Replacement
+strings avoid engine-specific escape processing: newlines are passed as
+literal characters (Java's ``replaceAll`` treats ``\\n`` in the
+*replacement* as an escaped literal ``n``, unlike the pattern side).
+
+Like every regex extractor, nested same-tag blocks (a ``<nav>`` inside
+a ``<nav>``) terminate at the first closing tag — the documented
+trade-off for a scan-speed extractor with no per-row parser state.
+
+The reference framework has no HTML operator (its text handling starts
+at string-level standardization, `dataquality-standardization/.../
+StringHandler.java:1`); this is a training-data-pipeline extension on
+top, same device as `operators/urltools.py`.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Boilerplate blocks dropped wholesale (content removed).  `\b` keeps
+# `<head>` from eating `<header>`.
+DROP_BLOCK_TAGS: tuple[str, ...] = ("script", "style", "head", "nav", "footer", "aside")
+
+COMMENT_RX = r"(?s)<!--.*?-->"
+
+# Block-level tags become newlines (paragraph/section boundaries).
+BLOCK_TAG_RX = (
+    r"(?is)</?(?:p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody"
+    r"|section|article|header|main|figure|figcaption|blockquote|pre|hr|form)\b[^>]*>"
+)
+
+# Any remaining tag is dropped (inline markup: a/span/em/…).
+ANY_TAG_RX = r"(?s)</?[a-zA-Z][^>]*>"
+
+# Basic entity set, decoded in order — `&amp;` LAST so literal text that
+# round-tripped through escaping (`&lt;` → `&amp;lt;`) decodes once, not
+# twice.
+ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# Whitespace normalization: collapse blanks, tighten newlines, trim.
+# `\n` is spelled as a pattern escape (identical in Java/`re`/RE2) but
+# passed as a literal character on the replacement side.  Vertical tab is
+# spelled `\x0B`, NOT `\v`: Java's `\v` is a vertical-WHITESPACE CLASS
+# (includes `\n`), while RE2/`re` treat it as the single VT char.
+WS_BLANKS_RX = r"[ \t\r\f\x0B]+"
+WS_AROUND_NL_RX = r" *\n *"
+WS_MULTI_NL_RX = r"\n+"
+TRIM_CHARS = " \n"
+
+
+def _drop_block_rx(tag: str) -> str:
+    return rf"(?is)<{tag}\b[^>]*>.*?</{tag}>"
+
+
+def ws_normalize_expr(col: Column) -> Column:
+    """Whitespace-normalize (expression form): blank runs → one space,
+    spaces around newlines dropped, newline runs → one, edges trimmed."""
+    out = F.regexp_replace(col, WS_BLANKS_RX, " ")
+    out = F.regexp_replace(out, WS_AROUND_NL_RX, "\n")
+    out = F.regexp_replace(out, WS_MULTI_NL_RX, "\n")
+    return F.btrim(out, F.lit(TRIM_CHARS))
+
+
+def extract_text_expr(col: Column) -> Column:
+    """Extract main text from HTML markup — pure Catalyst expression
+    cascade (the 100 TB hot path: rides the scan, no Python)."""
+    out = col
+    for tag in DROP_BLOCK_TAGS:
+        out = F.regexp_replace(out, _drop_block_rx(tag), "")
+    out = F.regexp_replace(out, COMMENT_RX, "")
+    out = F.regexp_replace(out, BLOCK_TAG_RX, "\n")
+    out = F.regexp_replace(out, ANY_TAG_RX, "")
+    for ent, ch in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return ws_normalize_expr(out)
+
+
+def escape_text_expr(col: Column) -> Column:
+    """HTML-escape a text column (`&` first) — the synthesis-side inverse
+    of the entity decode above; used by fixture generators."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+# --- Python twin (compiled once per worker / test process) -----------------
+
+_PY_DROPS = tuple(re.compile(_drop_block_rx(t)) for t in DROP_BLOCK_TAGS)
+_PY_COMMENT = re.compile(COMMENT_RX)
+_PY_BLOCK = re.compile(BLOCK_TAG_RX)
+_PY_ANY = re.compile(ANY_TAG_RX)
+_PY_BLANKS = re.compile(WS_BLANKS_RX)
+_PY_AROUND_NL = re.compile(WS_AROUND_NL_RX)
+_PY_MULTI_NL = re.compile(WS_MULTI_NL_RX)
+
+
+def ws_normalize_str(s: str) -> str:
+    s = _PY_BLANKS.sub(" ", s)
+    s = _PY_AROUND_NL.sub("\n", s)
+    s = _PY_MULTI_NL.sub("\n", s)
+    return s.strip(TRIM_CHARS)
+
+
+def extract_text_str(s: str | None) -> str | None:
+    """Per-row extraction contract (identical output to
+    :func:`extract_text_expr`, byte for byte)."""
+    if s is None:
+        return None
+    for cre in _PY_DROPS:
+        s = cre.sub("", s)
+    s = _PY_COMMENT.sub("", s)
+    s = _PY_BLOCK.sub("\n", s)
+    s = _PY_ANY.sub("", s)
+    for ent, ch in ENTITIES:
+        s = s.replace(ent, ch)
+    return ws_normalize_str(s)
+
+
+# --- DuckDB oracle fragments (same constants, RE2 dialect) -----------------
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal for a pattern/replacement; newlines become
+    chr(10) concatenation (DuckDB ordinary literals don't process
+    backslash escapes, so regex backslashes pass through verbatim)."""
+    parts = [p.replace("'", "''") for p in s.split("\n")]
+    joined = " || chr(10) || ".join(f"'{p}'" for p in parts)
+    # a leading/trailing newline produces an empty '' segment — harmless.
+    return joined if joined else "''"
+
+
+def extract_text_sql(expr: str) -> str:
+    """The same cascade as :func:`extract_text_expr`, as a DuckDB SQL
+    expression over `expr` (RE2 'g' flag = Java's replace-all default)."""
+    out = expr
+    for tag in DROP_BLOCK_TAGS:
+        out = f"regexp_replace({out}, {_sql_str(_drop_block_rx(tag))}, '', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(COMMENT_RX)}, '', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(BLOCK_TAG_RX)}, chr(10), 'g')"
+    out = f"regexp_replace({out}, {_sql_str(ANY_TAG_RX)}, '', 'g')"
+    for ent, ch in ENTITIES:
+        out = f"replace({out}, {_sql_str(ent)}, {_sql_str(ch)})"
+    out = f"regexp_replace({out}, {_sql_str(WS_BLANKS_RX)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(WS_AROUND_NL_RX)}, chr(10), 'g')"
+    out = f"regexp_replace({out}, {_sql_str(WS_MULTI_NL_RX)}, chr(10), 'g')"
+    return f"trim({out}, ' ' || chr(10))"
+
+
+def ws_normalize_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, {_sql_str(WS_BLANKS_RX)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(WS_AROUND_NL_RX)}, chr(10), 'g')"
+    out = f"regexp_replace({out}, {_sql_str(WS_MULTI_NL_RX)}, chr(10), 'g')"
+    return f"trim({out}, ' ' || chr(10))"
+
+
+def escape_text_sql(expr: str) -> str:
+    out = f"replace({expr}, '&', '&amp;')"
+    out = f"replace({out}, '<', '&lt;')"
+    return f"replace({out}, '>', '&gt;')"

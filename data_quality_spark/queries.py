@@ -3395,3 +3395,100 @@ def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         "contamination",
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> main-text extraction (operators/htmltext.py)
+# ---------------------------------------------------------------------------
+
+def _html_extract_oracle_sql() -> str:
+    from .operators.htmltext import (
+        escape_text_sql,
+        extract_text_sql,
+        ws_normalize_sql,
+    )
+
+    synth = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)"
+        " || '</title><style>body{font-size:10px}</style>'"
+        " || '<script type=\"text/javascript\">var id='"
+        " || CAST(doc_id % 9 AS VARCHAR) || ';track(\"pg\");</script></head>'"
+        " || '<body><nav><a href=\"/\">Home</a> | <a href=\"/c/'"
+        " || CAST(doc_id % 5 AS VARCHAR) || '\">Cat</a></nav>'"
+        " || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'"
+        " || '<p>' || replace(" + escape_text_sql("coalesce(text, '')")
+        + ", chr(10), '</p><p>') || '</p>'"
+        " || '<!-- build ' || CAST(doc_id % 7 AS VARCHAR) || ' -->'"
+        " || '<footer>&copy; 2026 site' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.com &nbsp;All rights reserved</footer></body></html>'"
+    )
+    expected = ws_normalize_sql(
+        "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || coalesce(text, '')"
+    )
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+        {extract_text_sql(synth)} AS extracted_text,
+        {expected} AS expected
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      extracted_text,
+      CAST(length(extracted_text) AS BIGINT) AS n_chars,
+      extracted_text = expected AS roundtrip_ok
+    FROM ex
+    """
+
+
+@_register("html_extract_pages", _html_extract_oracle_sql())
+def html_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main-text extraction over a deterministic markup fixture:
+    each document's text is escaped and wrapped in a full page skeleton
+    (head/title/style/script, nav, h1, per-line paragraphs, comment,
+    entity-bearing footer), then `extract_text_expr` recovers the text —
+    boilerplate blocks dropped, tags stripped, entities decoded,
+    whitespace normalized.  `roundtrip_ok` asserts the input_hint's
+    per-row invariant in-query: extracted text byte-equals the
+    whitespace-normalized source text prefixed by the h1 line.  The whole
+    stage is a codegen'd expression cascade riding the scan — no Python,
+    no shuffle (see `operators/htmltext.py`).  No reference analog (the
+    reference's text handling starts at string standardization,
+    `dataquality-standardization/.../StringHandler.java:1`)."""
+    from .operators.htmltext import (
+        escape_text_expr,
+        extract_text_expr,
+        ws_normalize_expr,
+    )
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    esc = escape_text_expr(F.coalesce(F.col("text"), F.lit("")))
+    paras = F.concat(
+        F.lit("<p>"),
+        F.replace(esc, F.lit("\n"), F.lit("</p><p>")),
+        F.lit("</p>"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), s(i),
+        F.lit("</title><style>body{font-size:10px}</style>"),
+        F.lit('<script type="text/javascript">var id='), s(i % 9),
+        F.lit(';track("pg");</script></head>'),
+        F.lit('<body><nav><a href="/">Home</a> | <a href="/c/'), s(i % 5),
+        F.lit('">Cat</a></nav>'),
+        F.lit("<h1>Doc "), s(i), F.lit("</h1>"),
+        paras,
+        F.lit("<!-- build "), s(i % 7), F.lit(" -->"),
+        F.lit("<footer>&copy; 2026 site"), s(i % 7),
+        F.lit(".com &nbsp;All rights reserved</footer></body></html>"),
+    )
+    extracted = extract_text_expr(html)
+    expected = ws_normalize_expr(
+        F.concat(F.lit("Doc "), s(i), F.lit("\n"), F.coalesce(F.col("text"), F.lit("")))
+    )
+    return docs.select(
+        i.cast("bigint").alias("doc_id"),
+        extracted.alias("extracted_text"),
+        F.length(extracted).cast("bigint").alias("n_chars"),
+        (extracted == expected).alias("roundtrip_ok"),
+    )
