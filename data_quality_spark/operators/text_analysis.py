@@ -138,3 +138,32 @@ def doc_signature_table(
         quality_score(c).alias("quality"),
         char_shingle_fingerprint(c).alias("fingerprint"),
     )
+
+
+def dup_line_metrics(col: Column, id_expr: Column) -> list[Column]:
+    """Within-document duplicate-line metrics (the Gopher repetition
+    family at line granularity): counts of non-empty lines, duplicate
+    line copies beyond the first occurrence, and the character mass of
+    those copies, plus the two exact-integer-ratio fractions.
+
+    Entirely per-row codegen'd expressions — a per-document metric needs
+    NO shuffle, ever: duplicate copies are `n - distinct(n)`, and the
+    duplicate character mass is the length difference of the joined line
+    arrays (``array_join`` keeps the whole computation out of the
+    interpreted higher-order-function path; see CLAUDE.md hot-path rule).
+    Complements `dedup.corpus_line_dedup` (cross-document boilerplate)."""
+    lines = F.filter(F.split(col, "\n"), lambda x: x != "")
+    n = F.size(lines).cast("bigint")
+    nd = F.size(F.array_distinct(lines)).cast("bigint")
+    chars = F.length(F.array_join(lines, "")).cast("bigint")
+    chars_d = F.length(F.array_join(F.array_distinct(lines), "")).cast("bigint")
+    return [
+        id_expr,
+        n.alias("n_lines"),
+        (n - nd).alias("n_dup_lines"),
+        (chars - chars_d).alias("n_dup_chars"),
+        F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(chars > 0, (chars - chars_d) / chars)
+        .otherwise(F.lit(0.0))
+        .alias("dup_char_frac"),
+    ]

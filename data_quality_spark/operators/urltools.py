@@ -137,6 +137,42 @@ def host_of(url: Column) -> Column:
     return F.regexp_replace(auth, r"^www\.", "")
 
 
+def domain_quality_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    keep_col: str = "keep",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Per-registered-domain quality rollup: page count, kept count,
+    keep rate, and the quality-score min/max.  The operational view a
+    crawl pipeline uses to blocklist or downsample spammy domains.
+
+    Scale notes (10^12 pages):
+    - the only shuffle carries `(domain, keep, score)` triples — never
+      page payloads;
+    - every aggregate is algebraic (count/sum/min/max), so map-side
+      partial aggregation caps what any one reducer sees even on the
+      giant-domain skew a real crawl has — no salting needed here
+      (contrast `skew.py` for the non-algebraic paths);
+    - mean quality is deliberately NOT emitted: a float sum is
+      order-dependent across partitionings, while min/max and the
+      integer-ratio keep_rate are bit-stable (parity conventions at the
+      top of `queries.py`).
+    """
+    dom = registered_domain(host_of(F.col(url_col))).alias("domain")
+    agg = (
+        df.select(dom, F.col(keep_col).alias("_k"), F.col(score_col).alias("_s"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("_k").cast("bigint")).cast("bigint").alias("n_keep"),
+            F.min("_s").alias("min_quality"),
+            F.max("_s").alias("max_quality"),
+        )
+    )
+    return agg.withColumn("keep_rate", F.col("n_keep") / F.col("n_docs"))
+
+
 def url_duplicate_groups(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3050,14 +3050,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # URL canonicalization + URL-level dedup (webtext extension; operators/urltools.py)
 # ---------------------------------------------------------------------------
 
-def _url_dedup_oracle_sql() -> str:
-    from .operators.urltools import MULTI_SUFFIXES, TRACKING_PARAM_RX, URL_RX
-
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
-    return f"""
-    WITH pages AS (
-      SELECT doc_id,
-        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+# Deterministic messy-URL fixture expression (scheme/case/`www.`/default-
+# port/tracking-param/param-order/trailing-slash/fragment variants keyed on
+# doc_id) — shared by url_canonical_dedup and domain_quality_stats; the
+# Spark twin is `_synth_url_expr`.
+_SQL_SYNTH_URL = """(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
         || '://'
         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)
         || (CASE WHEN doc_id % 10 < 5 THEN 'Site' ELSE 'site' END) || CAST(doc_id % 7 AS VARCHAR)
@@ -3071,7 +3068,49 @@ def _url_dedup_oracle_sql() -> str:
              WHEN 2 THEN '?b=2&a=1'
              WHEN 3 THEN '?a=1&b=2'
              ELSE '' END)
-        || (CASE WHEN doc_id % 9 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+        || (CASE WHEN doc_id % 9 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)"""
+
+
+def _synth_url_expr() -> F.Column:
+    """Spark twin of `_SQL_SYNTH_URL` (same fixture, same key periods)."""
+    i = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 3 == 0, F.lit("WWW."))
+        .when(i % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.when(i % 10 < 5, F.lit("Site")).otherwise(F.lit("site")),
+        s(i % 7),
+        F.when(i % 4 == 0, F.lit(".com"))
+        .when(i % 4 == 1, F.lit(".co.uk"))
+        .when(i % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".com.au")),
+        F.when(
+            i % 5 == 0,
+            F.when(i % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/Article/"),
+        s(i % 10),
+        F.when(i % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 8 == 0, F.concat(F.lit("?utm_source=feed&id="), s(i % 5)))
+        .when(i % 8 == 1, F.concat(F.lit("?id="), s(i % 5), F.lit("&utm_campaign=x")))
+        .when(i % 8 == 2, F.lit("?b=2&a=1"))
+        .when(i % 8 == 3, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(i % 9 == 0, F.concat(F.lit("#sec"), s(i % 3))).otherwise(F.lit("")),
+    )
+
+
+def _url_dedup_oracle_sql() -> str:
+    from .operators.urltools import MULTI_SUFFIXES, TRACKING_PARAM_RX, URL_RX
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        {_SQL_SYNTH_URL}
         AS url
       FROM documents
     ),
@@ -3144,35 +3183,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urltools import registered_domain, url_duplicate_groups
 
     docs = _read(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    s = lambda e: e.cast("string")  # noqa: E731
-    url = F.concat(
-        F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
-        F.lit("://"),
-        F.when(i % 3 == 0, F.lit("WWW."))
-        .when(i % 3 == 1, F.lit("www."))
-        .otherwise(F.lit("")),
-        F.when(i % 10 < 5, F.lit("Site")).otherwise(F.lit("site")),
-        s(i % 7),
-        F.when(i % 4 == 0, F.lit(".com"))
-        .when(i % 4 == 1, F.lit(".co.uk"))
-        .when(i % 4 == 2, F.lit(".org"))
-        .otherwise(F.lit(".com.au")),
-        F.when(
-            i % 5 == 0,
-            F.when(i % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
-        ).otherwise(F.lit("")),
-        F.lit("/Article/"),
-        s(i % 10),
-        F.when(i % 6 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(i % 8 == 0, F.concat(F.lit("?utm_source=feed&id="), s(i % 5)))
-        .when(i % 8 == 1, F.concat(F.lit("?id="), s(i % 5), F.lit("&utm_campaign=x")))
-        .when(i % 8 == 2, F.lit("?b=2&a=1"))
-        .when(i % 8 == 3, F.lit("?a=1&b=2"))
-        .otherwise(F.lit("")),
-        F.when(i % 9 == 0, F.concat(F.lit("#sec"), s(i % 3))).otherwise(F.lit("")),
-    )
-    pages = docs.select("doc_id", url.alias("url"))
+    pages = docs.select("doc_id", _synth_url_expr().alias("url"))
     groups = url_duplicate_groups(pages, "url", "doc_id")
     host = F.regexp_extract(
         F.col("canonical_url"), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1
@@ -3491,4 +3502,180 @@ def html_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted.alias("extracted_text"),
         F.length(extracted).cast("bigint").alias("n_chars"),
         (extracted == expected).alias("roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality rollup (operators/urltools.py)
+# ---------------------------------------------------------------------------
+
+def _domain_quality_oracle_sql() -> str:
+    from .operators.urltools import MULTI_SUFFIXES, URL_RX
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    quality = f"""( least(CASE WHEN len(ws) > 0
+              THEN len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) / len(ws)
+              ELSE 0.0 END * 2.5, 1.0)
+      + CASE WHEN len(ws) > 0 THEN len(list_distinct(lws)) / len(ws) ELSE 0.0 END
+      + CASE WHEN len(ws) > 0
+             THEN len(list_filter(ws, x -> regexp_matches(x, '\\p{{L}}'))) / len(ws)
+             ELSE 0.0 END
+      + (1.0 - least(CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) / length(text)
+                     ELSE 0.0 END * 3.0, 1.0))
+      + CASE WHEN len(ws) BETWEEN 50 AND 5000 THEN 1.0
+             WHEN len(ws) > 0 THEN 0.5 ELSE 0.0 END
+      ) / 5.0"""
+    keep = f"""((len(ws) >= {MIN_WORDS})
+      AND (len(ws) > 0 AND
+           list_sum(list_transform(ws, x -> length(x))) / len(ws) >= {MIN_MEAN_WORD_LEN} AND
+           list_sum(list_transform(ws, x -> length(x))) / len(ws) <= {MAX_MEAN_WORD_LEN})
+      AND (length(text) = 0 OR
+           length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) / length(text) <= {MAX_SYMBOL_RATIO})
+      AND (len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) >= {MIN_STOPWORD_COUNT})
+      AND (len(g2) = 0 OR 1.0 - len(list_distinct(g2)) / len(g2) <= {MAX_DUP_2GRAM_FRACTION})
+      AND (len(ws) > 0 AND len(list_distinct(lws)) / len(ws) >= {MIN_DISTINCT_WORD_RATIO}))"""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS ws, {_SQL_LWORDS} AS lws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, ws, lws,
+        CASE WHEN len(ws) >= 2 THEN
+          list_transform(generate_series(1, len(ws)-1),
+                         i -> array_to_string(list_slice(lws, i, i+1), ' '))
+        ELSE [] END AS g2
+      FROM w
+    ), scored AS (
+      SELECT doc_id,
+        {_SQL_SYNTH_URL} AS url,
+        {keep} AS keep,
+        {quality} AS quality
+      FROM g
+    ), hosted AS (
+      SELECT *,
+        regexp_replace(
+          regexp_replace(
+            CASE WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                 ELSE auth END,
+            '^www\\.', ''),
+          ':[0-9]+$', '') AS host
+      FROM (
+        SELECT *, lower(regexp_extract(url, '{URL_RX}', 1)) AS scheme,
+               lower(regexp_extract(url, '{URL_RX}', 2)) AS auth
+        FROM scored
+      )
+    ), dom AS (
+      SELECT *,
+        CASE WHEN len(labels) >= 3
+                  AND (list_extract(labels, -2) || '.' || list_extract(labels, -1)) IN ({suffixes})
+             THEN list_extract(labels, -3) || '.' || list_extract(labels, -2)
+                  || '.' || list_extract(labels, -1)
+             WHEN len(labels) >= 2
+             THEN list_extract(labels, -2) || '.' || list_extract(labels, -1)
+             ELSE host END AS domain
+      FROM (SELECT *, string_split(host, '.') AS labels FROM hosted)
+    )
+    SELECT domain,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      min(quality) AS min_quality,
+      max(quality) AS max_quality,
+      CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        / CAST(count(*) AS BIGINT) AS keep_rate
+    FROM dom GROUP BY domain
+    """
+
+
+@_register("domain_quality_stats", _domain_quality_oracle_sql())
+def domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain quality rollup over the shared messy-URL
+    fixture: page count, kept count (SQL-rule-subset keep), quality-score
+    min/max, and the exact-integer keep rate.  The blocklist/downsample
+    view a crawl pipeline derives before sampling; domains are the
+    canonical skewed key and every aggregate is algebraic, so map-side
+    partial aggregation defuses the skew (see
+    `operators/urltools.py:domain_quality_profile`).  No reference analog
+    — training-pipeline extension."""
+    from .operators.text_analysis import quality_score
+    from .operators.urltools import domain_quality_profile
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    feat = ts.with_text_features(docs, "text", impl="native")
+    nw, nchars = F.col("_nw"), F.col("_nchars")
+    mwl = F.col("_sum_wlen") / nw
+    ng2, dg2 = F.col("_n_g2"), F.col("_n_g2_distinct")
+    keep = (
+        (nw >= MIN_WORDS)
+        & ((nw > 0) & (mwl >= MIN_MEAN_WORD_LEN) & (mwl <= MAX_MEAN_WORD_LEN))
+        & ((nchars == 0) | (F.col("_n_sym") / nchars <= MAX_SYMBOL_RATIO))
+        & (F.col("_n_stop") >= MIN_STOPWORD_COUNT)
+        & ((ng2 == 0) | (1.0 - dg2 / ng2 <= MAX_DUP_2GRAM_FRACTION))
+        & ((nw > 0) & (F.col("_n_distinct") / nw >= MIN_DISTINCT_WORD_RATIO))
+    )
+    pages = feat.select(
+        _synth_url_expr().alias("url"),
+        keep.alias("keep"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return domain_quality_profile(pages, "url", "keep", "quality")
+
+
+# ---------------------------------------------------------------------------
+# Within-document duplicate-line metrics (operators/text_analysis.py)
+# ---------------------------------------------------------------------------
+
+_DUP_LINES_SQL = """
+    WITH pages AS (
+      SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS t
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+        t || chr(10) || array_to_string(
+          list_slice(string_split(t, chr(10)), 1, 1 + CAST(doc_id % 3 AS INTEGER)),
+          chr(10)) AS page
+      FROM pages
+    ), l AS (
+      SELECT doc_id,
+        list_filter(string_split(page, chr(10)), x -> x <> '') AS lines
+      FROM built
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+        CAST(length(array_to_string(lines, ''))
+             - length(array_to_string(list_distinct(lines), '')) AS BIGINT) AS n_dup_chars,
+        CAST(length(array_to_string(lines, '')) AS BIGINT) AS n_chars
+      FROM l
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      n_lines, n_dup_lines, n_dup_chars,
+      CASE WHEN n_lines > 0 THEN n_dup_lines / n_lines ELSE 0.0 END AS dup_line_frac,
+      CASE WHEN n_chars > 0 THEN n_dup_chars / n_chars ELSE 0.0 END AS dup_char_frac
+    FROM m
+    """
+
+
+@_register("dup_paragraph_docs", _DUP_LINES_SQL)
+def dup_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line metrics (Gopher's dup-paragraph /
+    dup-line repetition family) over a fixture that appends each doc's
+    first 1..3 sentence lines back onto itself, so every doc has a known
+    duplicated block.  The whole metric is per-row codegen'd expressions
+    — no shuffle at any scale (see
+    `operators/text_analysis.py:dup_line_metrics`); complements
+    `line_dedup_docs` (cross-document boilerplate)."""
+    from .operators.text_analysis import dup_line_metrics
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t = F.regexp_replace(F.col("text"), r"\. ", ".\n")
+    dup_tail = F.array_join(
+        F.slice(F.split(t, "\n"), F.lit(1), (i % 3 + 1).cast("int")), "\n"
+    )
+    page = F.concat(t, F.lit("\n"), dup_tail)
+    built = docs.select(i.alias("doc_id"), page.alias("page"))
+    return built.select(
+        *dup_line_metrics(F.col("page"), F.col("doc_id").cast("bigint").alias("doc_id"))
     )
