@@ -104,6 +104,9 @@ HEADLINE = [
     "line_dedup_docs",
     "dedup_clusters_global",
     "contamination_docs",
+    "html_extract_pages",
+    "domain_quality_stats",
+    "dup_paragraph_docs",
 ]
 
 
