@@ -107,6 +107,7 @@ HEADLINE = [
     "html_extract_pages",
     "domain_quality_stats",
     "dup_paragraph_docs",
+    "stratified_sample_docs",
 ]
 
 

@@ -3679,3 +3679,41 @@ def dup_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built.select(
         *dup_line_metrics(F.col("page"), F.col("doc_id").cast("bigint").alias("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-k sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_SAMPLE_SQL = """
+    WITH u AS (
+      SELECT doc_id, lang, md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM u
+    )
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+      CAST(rn AS BIGINT) AS rank_in_stratum
+    FROM r WHERE rn <= 20
+    """
+
+
+@_register("stratified_sample_docs", _STRATIFIED_SAMPLE_SQL)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced curation draw: exactly 20 docs per `lang`
+    stratum, ranked by seeded md5 — deterministic and engine-
+    reproducible.  The Spark side uses the oversample-then-trim shape
+    (broadcast stratum counts, prefilter to ~4k survivors per stratum,
+    exact rank on the bounded set) so no giant stratum ever funnels
+    through one window task; the oracle recomputes the exact per-stratum
+    rank over ALL rows, so the prefilter's correctness is itself
+    hash-verified (see `operators/sampling.py:stratified_reservoir_k`).
+    Reference device: seeded reservoir `sampling/ReservoirSampler.java:59-80`
+    generalized per-stratum."""
+    from .operators.sampling import stratified_reservoir_k
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_reservoir_k(docs, 20, "lang", "doc_id", seed=42)
+    return out.select("lang", F.col("doc_id").cast("bigint").alias("doc_id"), "rank_in_stratum")

@@ -94,3 +94,36 @@ def test_top_n(spark):
     df = spark.range(100).withColumnRenamed("id", "k")
     got = [r["k"] for r in S.top_n(df, 5, "k", ascending=False).collect()]
     assert got == [99, 98, 97, 96, 95]
+
+
+def test_stratified_reservoir_exact_and_prefilter_safe(spark):
+    # 3 strata of very different sizes: the oversample prefilter must
+    # produce EXACTLY the naive full-window result, and small strata
+    # (n <= k) must be kept whole
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 100 == 0, "rare")
+        .when(F.col("id") % 3 == 0, "mid")
+        .otherwise("big")
+        .alias("st"),
+    )
+    got = S.stratified_reservoir_k(df, 30, "st", "k", seed=7)
+    rows = sorted((r["st"], r["k"], r["rank_in_stratum"]) for r in got.collect())
+
+    # naive oracle: full window, no prefilter
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit("7:"), F.col("k").cast("string")))
+    w = Window.partitionBy("st").orderBy(h.asc(), F.col("k").asc())
+    naive = (
+        df.select("st", "k", F.row_number().over(w).cast("bigint").alias("rank_in_stratum"))
+        .filter(F.col("rank_in_stratum") <= 30)
+    )
+    assert rows == sorted((r["st"], r["k"], r["rank_in_stratum"]) for r in naive.collect())
+
+    per = {r["st"]: r["c"] for r in got.groupBy("st").agg(F.count("*").alias("c")).collect()}
+    assert per == {"big": 30, "mid": 30, "rare": 30}
+
+    # a stratum smaller than k is returned in full
+    tiny = S.stratified_reservoir_k(df.filter(F.col("st") == "rare"), 500, "st", "k")
+    assert tiny.count() == 50
