@@ -108,6 +108,7 @@ HEADLINE = [
     "domain_quality_stats",
     "dup_paragraph_docs",
     "stratified_sample_docs",
+    "card_scrub_docs",
 ]
 
 

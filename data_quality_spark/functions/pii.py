@@ -1,0 +1,114 @@
+"""Checksum-validated PII detection: Luhn (ISO/IEC 7812) card numbers.
+
+The base scrub chain (`scrub.py`) masks shape-matched patterns; card
+numbers need more — a 16-digit run is only PII if its Luhn checksum
+holds (that's how real scrubbers cut the false-positive rate on
+invoice/order/serial numbers).  This module provides the checksum as a
+pure Catalyst expression with an exact DuckDB twin, plus an in-text
+scrubber that masks ONLY validated candidates.
+
+Everything is per-row expression work (the higher-order functions here
+iterate ≤19 digits / ≤ a handful of candidates per document — the
+interpreted-HOF cost note in CLAUDE.md targets per-doc token arrays,
+not these).  No shuffle, no Python.
+
+Reference analog: none (the reference validates emails/phones/dates,
+not payment cards) — training-pipeline PII extension alongside
+`scrub.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Card-shaped candidate: 13-19 digits in groups separated by single
+# spaces or dashes (or none).  Java/RE2/`re` common subset.
+CARD_CANDIDATE_RX = r"\b(?:[0-9][- ]?){12,18}[0-9]\b"
+
+
+def _luhn_sum(digits: Column, double_odd: bool) -> Column:
+    """Luhn weighted digit sum of a digit-string column, iterating the
+    REVERSED string; `double_odd` flips which (1-based) positions double
+    (False for a full card incl. check digit, True for a bare base)."""
+    rev = F.reverse(digits)
+    parity = 1 if double_odd else 0
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(rev)),
+            lambda i: F.when(
+                i % 2 == parity,
+                F.when(
+                    F.substring(rev, i, 1).cast("int") * 2 > 9,
+                    F.substring(rev, i, 1).cast("int") * 2 - 9,
+                ).otherwise(F.substring(rev, i, 1).cast("int") * 2),
+            ).otherwise(F.substring(rev, i, 1).cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True when the digit string (13-19 digits, separators already
+    stripped) passes the Luhn checksum."""
+    n = F.length(digits)
+    return (n >= 13) & (n <= 19) & (_luhn_sum(digits, double_odd=False) % 10 == 0)
+
+
+def luhn_check_digit(base: Column) -> Column:
+    """The check digit that makes `base || digit` Luhn-valid (positions
+    shift by one, so the base doubles its odd reversed positions)."""
+    return (F.lit(10) - _luhn_sum(base, double_odd=True) % 10) % 10
+
+
+def scrub_valid_cards(text: Column, repl: str = "<CARD>") -> Column:
+    """Mask every Luhn-VALID card-shaped substring in `text`, leaving
+    invalid look-alikes (order ids, serials) untouched.  Candidates are
+    collected with `regexp_extract_all`, checksum-filtered, and folded
+    into ordered literal replaces — all expression-side."""
+    cands = F.array_distinct(F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RX), 0))
+    valid = F.filter(
+        cands, lambda c: luhn_valid(F.regexp_replace(c, r"[- ]", ""))
+    )
+    # sorted fold: bytewise replace order is engine-identical even when
+    # one candidate is a substring of another (list_distinct order is
+    # unspecified in DuckDB)
+    return F.aggregate(
+        F.array_sort(valid), text, lambda acc, c: F.replace(acc, c, F.lit(repl))
+    )
+
+
+# --- DuckDB twins (same constants / arithmetic) -----------------------------
+
+
+def luhn_sum_sql(digits: str, double_odd: bool) -> str:
+    parity = 1 if double_odd else 0
+    return (
+        f"list_sum(list_transform(generate_series(1, length(reverse({digits}))), i -> "
+        f"CASE WHEN i % 2 = {parity} THEN "
+        f"CASE WHEN CAST(substr(reverse({digits}), i, 1) AS INTEGER) * 2 > 9 "
+        f"THEN CAST(substr(reverse({digits}), i, 1) AS INTEGER) * 2 - 9 "
+        f"ELSE CAST(substr(reverse({digits}), i, 1) AS INTEGER) * 2 END "
+        f"ELSE CAST(substr(reverse({digits}), i, 1) AS INTEGER) END))"
+    )
+
+
+def luhn_valid_sql(digits: str) -> str:
+    return (
+        f"(length({digits}) BETWEEN 13 AND 19 "
+        f"AND {luhn_sum_sql(digits, False)} % 10 = 0)"
+    )
+
+
+def luhn_check_digit_sql(base: str) -> str:
+    return f"((10 - {luhn_sum_sql(base, True)} % 10) % 10)"
+
+
+def scrub_valid_cards_sql(text: str, repl: str = "<CARD>") -> str:
+    stripped = "regexp_replace(c, '[- ]', '', 'g')"
+    return (
+        f"list_reduce(list_prepend({text}, list_sort(list_filter("
+        f"list_distinct(regexp_extract_all({text}, '{CARD_CANDIDATE_RX}', 0)), "
+        f"c -> {luhn_valid_sql(stripped)}))), (acc, x) -> replace(acc, x, '{repl}'))"
+    )

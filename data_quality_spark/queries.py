@@ -3717,3 +3717,83 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     out = stratified_reservoir_k(docs, 20, "lang", "doc_id", seed=42)
     return out.select("lang", F.col("doc_id").cast("bigint").alias("doc_id"), "rank_in_stratum")
+
+
+# ---------------------------------------------------------------------------
+# Checksum-validated card PII scrub (functions/pii.py)
+# ---------------------------------------------------------------------------
+
+def _card_scrub_oracle_sql() -> str:
+    from .functions.pii import (
+        CARD_CANDIDATE_RX,
+        luhn_check_digit_sql,
+        luhn_valid_sql,
+        scrub_valid_cards_sql,
+    )
+
+    base = "lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR), 14, '0')"
+    valid = f"({base} || CAST({luhn_check_digit_sql(base)} AS VARCHAR))"
+    invalid = f"({base} || CAST(({luhn_check_digit_sql(base)} + 1) % 10 AS VARCHAR))"
+    dashed = (
+        f"(substr({valid}, 1, 4) || '-' || substr({valid}, 5, 4) || '-' "
+        f"|| substr({valid}, 9, 4) || '-' || substr({valid}, 13, 3))"
+    )
+    page = (
+        f"('order ref ' || {invalid} || ' card ' || {valid} "
+        f"|| CASE WHEN doc_id % 3 = 0 THEN ' alt ' || {dashed} ELSE '' END || ' end')"
+    )
+    stripped = "regexp_replace(c, '[- ]', '', 'g')"
+    n_valid = (
+        f"len(list_filter(list_distinct(regexp_extract_all(page, '{CARD_CANDIDATE_RX}', 0)), "
+        f"c -> {luhn_valid_sql(stripped)}))"
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id, {page} AS page FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      {scrub_valid_cards_sql("page")} AS scrubbed,
+      CAST({n_valid} AS BIGINT) AS n_cards_masked
+    FROM p
+    """
+
+
+@_register("card_scrub_docs", _card_scrub_oracle_sql())
+def card_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-checksum-validated card scrub over a fixture where every doc
+    carries one VALID card (check digit computed in-query), one off-by-
+    one INVALID look-alike, and (every third doc) a dash-grouped valid
+    form: only the checksum-passing candidates are masked — the false-
+    positive cut a shape-only scrub rule can't make.  All per-row
+    expressions (candidates + fold-replace), no Python, no shuffle; the
+    oracle recomputes the checksum arithmetic independently (see
+    `functions/pii.py`).  No reference analog (the reference validates
+    emails/phones/dates, not payment cards)."""
+    from .functions.pii import CARD_CANDIDATE_RX, luhn_check_digit, luhn_valid, scrub_valid_cards
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = F.lpad(((i * 7919) % 100000000000000).cast("string"), 14, "0")
+    valid = F.concat(base, luhn_check_digit(base).cast("string"))
+    invalid = F.concat(base, ((luhn_check_digit(base) + 1) % 10).cast("string"))
+    dashed = F.concat(
+        F.substring(valid, 1, 4), F.lit("-"), F.substring(valid, 5, 4), F.lit("-"),
+        F.substring(valid, 9, 4), F.lit("-"), F.substring(valid, 13, 3),
+    )
+    page = F.concat(
+        F.lit("order ref "), invalid, F.lit(" card "), valid,
+        F.when(i % 3 == 0, F.concat(F.lit(" alt "), dashed)).otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+    built = docs.select(i.cast("bigint").alias("doc_id"), page.alias("page"))
+    n_valid = F.size(
+        F.filter(
+            F.array_distinct(F.regexp_extract_all(F.col("page"), F.lit(CARD_CANDIDATE_RX), 0)),
+            lambda c: luhn_valid(F.regexp_replace(c, r"[- ]", "")),
+        )
+    ).cast("bigint")
+    return built.select(
+        "doc_id",
+        scrub_valid_cards(F.col("page")).alias("scrubbed"),
+        n_valid.alias("n_cards_masked"),
+    )
