@@ -109,6 +109,7 @@ HEADLINE = [
     "dup_paragraph_docs",
     "stratified_sample_docs",
     "card_scrub_docs",
+    "top_ngram_docs",
 ]
 
 

@@ -3797,3 +3797,74 @@ def card_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_valid_cards(F.col("page")).alias("scrubbed"),
         n_valid.alias("n_cards_masked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top n-gram repetition signal (operators/text_analysis.py)
+# ---------------------------------------------------------------------------
+
+def _top_ngram_sql_branch(n: int) -> str:
+    gram_list = (
+        f"CASE WHEN len(lws) >= {n} THEN "
+        f"list_transform(generate_series(1, len(lws)-{n - 1}), "
+        f"i -> array_to_string(list_slice(lws, i, i+{n - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+    return f"""
+    g{n} AS (
+      SELECT doc_id, unnest({gram_list}) AS g FROM w
+    ), c{n} AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+      FROM g{n} GROUP BY doc_id, g
+    ), t{n} AS (
+      SELECT doc_id, g, cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        FROM c{n}
+      ) WHERE rn = 1
+    )"""
+
+
+_TOP_NGRAM_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS nc, {_SQL_LWORDS} AS lws
+      FROM documents
+    ),{_top_ngram_sql_branch(2)},{_top_ngram_sql_branch(3)}
+    SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+      COALESCE(t2.g, '') AS top2_gram,
+      COALESCE(t2.cnt, CAST(0 AS BIGINT)) AS top2_cnt,
+      CASE WHEN w.nc > 0
+           THEN COALESCE(t2.cnt, CAST(0 AS BIGINT))
+                * CAST(length(COALESCE(t2.g, '')) AS BIGINT) / w.nc
+           ELSE 0.0 END AS top2_frac,
+      COALESCE(t3.g, '') AS top3_gram,
+      COALESCE(t3.cnt, CAST(0 AS BIGINT)) AS top3_cnt,
+      CASE WHEN w.nc > 0
+           THEN COALESCE(t3.cnt, CAST(0 AS BIGINT))
+                * CAST(length(COALESCE(t3.g, '')) AS BIGINT) / w.nc
+           ELSE 0.0 END AS top3_frac
+    FROM w LEFT JOIN t2 ON w.doc_id = t2.doc_id
+           LEFT JOIN t3 ON w.doc_id = t3.doc_id
+    """
+
+
+@_register("top_ngram_docs", _TOP_NGRAM_SQL)
+def top_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's top-n-gram repetition signal: per doc the most frequent
+    word 2- and 3-gram (deterministic count-desc/gram-asc tiebreak) and
+    the character fraction each covers.  `(id, gram)` pairs are the only
+    shuffle; the rank window partitions by the high-cardinality doc id
+    (see `operators/text_analysis.py:top_ngram_stats`).  Complements the
+    dup-2gram fraction already in the rule registry (`rules.py:88`)."""
+    from .operators.text_analysis import top_ngram_stats
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    t2 = top_ngram_stats(docs, "text", "doc_id", 2)
+    t3 = top_ngram_stats(docs, "text", "doc_id", 3)
+    return (
+        t2.join(t3, "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "top2_gram", "top2_cnt", "top2_frac",
+            "top3_gram", "top3_cnt", "top3_frac",
+        )
+    )
