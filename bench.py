@@ -110,6 +110,7 @@ HEADLINE = [
     "stratified_sample_docs",
     "card_scrub_docs",
     "top_ngram_docs",
+    "outlink_graph_pages",
 ]
 
 

@@ -3868,3 +3868,112 @@ def top_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top3_gram", "top3_cnt", "top3_frac",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlink domain graph (operators/urltools.py)
+# ---------------------------------------------------------------------------
+
+def _sql_host_of(u: str) -> str:
+    """DuckDB twin of urltools.host_of (lowercased authority, scheme's
+    default port stripped, one leading www. stripped)."""
+    from .operators.urltools import URL_RX
+
+    scheme = f"lower(regexp_extract({u}, '{URL_RX}', 1))"
+    auth = f"lower(regexp_extract({u}, '{URL_RX}', 2))"
+    return (
+        f"regexp_replace(CASE WHEN {scheme} = 'http' THEN regexp_replace({auth}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '') "
+        f"ELSE {auth} END, '^www\\.', '')"
+    )
+
+
+def _sql_registered_domain(host: str) -> str:
+    """DuckDB twin of urltools.registered_domain over a host expression."""
+    from .operators.urltools import MULTI_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    h = f"regexp_replace({host}, ':[0-9]+$', '')"
+    labels = f"string_split({h}, '.')"
+    last2 = f"(list_extract({labels}, -2) || '.' || list_extract({labels}, -1))"
+    last3 = f"(list_extract({labels}, -3) || '.' || {last2})"
+    return (
+        f"CASE WHEN len({labels}) >= 3 AND {last2} IN ({suffixes}) THEN {last3} "
+        f"WHEN len({labels}) >= 2 THEN {last2} ELSE {h} END"
+    )
+
+
+def _outlink_target_sql(t: str) -> str:
+    return (
+        f"((CASE WHEN ({t}) % 2 = 0 THEN 'http' ELSE 'https' END) || '://' "
+        f"|| (CASE WHEN ({t}) % 3 = 0 THEN 'www.' ELSE '' END) "
+        f"|| (CASE WHEN ({t}) % 4 < 2 THEN 'Ext' ELSE 'ext' END) || CAST(({t}) % 6 AS VARCHAR) "
+        f"|| (CASE ({t}) % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' ELSE '.net' END) "
+        f"|| '/p/' || CAST(({t}) % 10 AS VARCHAR))"
+    )
+
+
+def _outlink_oracle_sql() -> str:
+    html = (
+        "('<html><body><p>see <a href=\"' || " + _outlink_target_sql("doc_id * 3 + 1")
+        + " || '\">one</a> and <a class=\"x\" href=\"' || " + _outlink_target_sql("doc_id * 5 + 2")
+        + " || '\">two</a></p><p><a href=\"' || " + _outlink_target_sql("doc_id * 7 + 3")
+        + " || '\">three</a></p></body></html>')"
+    )
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {_SQL_SYNTH_URL} AS url, {html} AS html FROM documents
+    ), links AS (
+      SELECT {_sql_registered_domain(_sql_host_of("url"))} AS src_domain,
+        unnest(regexp_extract_all(html, '<a\\s+[^>]*href="([^"]*)"', 1)) AS href
+      FROM pages
+    )
+    SELECT src_domain,
+      {_sql_registered_domain(_sql_host_of("href"))} AS dst_domain,
+      CAST(count(*) AS BIGINT) AS n_links
+    FROM links GROUP BY 1, 2
+    """
+
+
+def _outlink_target_expr(t: F.Column) -> F.Column:
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.when(t % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(t % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(t % 4 < 2, F.lit("Ext")).otherwise(F.lit("ext")),
+        s(t % 6),
+        F.when(t % 3 == 0, F.lit(".com"))
+        .when(t % 3 == 1, F.lit(".co.uk"))
+        .otherwise(F.lit(".net")),
+        F.lit("/p/"),
+        s(t % 10),
+    )
+
+
+@_register("outlink_graph_pages", _outlink_oracle_sql())
+def outlink_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain link graph over a deterministic anchor fixture
+    (three absolute hrefs per page with scheme/www/case/multi-suffix
+    noise, one behind a distracting `class` attribute): extract hrefs,
+    canonicalize hosts, aggregate `(src_domain, dst_domain)` edge
+    weights — the link-graph construction step behind domain-authority
+    and spam-farm signals.  Only (src_domain, href) pairs ever shuffle
+    and the edge agg combines map-side (see
+    `operators/urltools.py:outlink_domain_edges`).  No reference analog
+    — training-pipeline extension."""
+    from .operators.urltools import outlink_domain_edges
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>see <a href="'),
+        _outlink_target_expr(i * 3 + 1),
+        F.lit('">one</a> and <a class="x" href="'),
+        _outlink_target_expr(i * 5 + 2),
+        F.lit('">two</a></p><p><a href="'),
+        _outlink_target_expr(i * 7 + 3),
+        F.lit('">three</a></p></body></html>'),
+    )
+    pages = docs.select(_synth_url_expr().alias("url"), html.alias("html"))
+    return outlink_domain_edges(pages, "html", "url")
