@@ -111,6 +111,7 @@ HEADLINE = [
     "card_scrub_docs",
     "top_ngram_docs",
     "outlink_graph_pages",
+    "domain_pagerank",
 ]
 
 

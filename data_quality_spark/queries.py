@@ -3913,25 +3913,34 @@ def _outlink_target_sql(t: str) -> str:
     )
 
 
-def _outlink_oracle_sql() -> str:
+def _outlink_edges_ctes() -> str:
+    """CTE chain `olp_pages, olp_links, olp_edges` producing the outlink
+    edge list (src_domain, dst_domain, n_links) — shared by the
+    outlink-graph and PageRank oracles."""
     html = (
         "('<html><body><p>see <a href=\"' || " + _outlink_target_sql("doc_id * 3 + 1")
         + " || '\">one</a> and <a class=\"x\" href=\"' || " + _outlink_target_sql("doc_id * 5 + 2")
         + " || '\">two</a></p><p><a href=\"' || " + _outlink_target_sql("doc_id * 7 + 3")
         + " || '\">three</a></p></body></html>')"
     )
-    return f"""
-    WITH pages AS (
+    return f"""olp_pages AS (
       SELECT doc_id, {_SQL_SYNTH_URL} AS url, {html} AS html FROM documents
-    ), links AS (
+    ), olp_links AS (
       SELECT {_sql_registered_domain(_sql_host_of("url"))} AS src_domain,
         unnest(regexp_extract_all(html, '<a\\s+[^>]*href="([^"]*)"', 1)) AS href
-      FROM pages
-    )
-    SELECT src_domain,
-      {_sql_registered_domain(_sql_host_of("href"))} AS dst_domain,
-      CAST(count(*) AS BIGINT) AS n_links
-    FROM links GROUP BY 1, 2
+      FROM olp_pages
+    ), olp_edges AS (
+      SELECT src_domain,
+        {_sql_registered_domain(_sql_host_of("href"))} AS dst_domain,
+        CAST(count(*) AS BIGINT) AS n_links
+      FROM olp_links GROUP BY 1, 2
+    )"""
+
+
+def _outlink_oracle_sql() -> str:
+    return f"""
+    WITH {_outlink_edges_ctes()}
+    SELECT src_domain, dst_domain, n_links FROM olp_edges
     """
 
 
@@ -3977,3 +3986,72 @@ def outlink_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select(_synth_url_expr().alias("url"), html.alias("html"))
     return outlink_domain_edges(pages, "html", "url")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the outlink graph (operators/pagerank.py)
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    rounds = []
+    prev = "pr0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""pr{r} AS (
+      SELECT n.node,
+        CAST(150000 + COALESCE(s.inc, 0) AS BIGINT) AS rank
+      FROM pr_nodes n LEFT JOIN (
+        SELECT e.dst_domain AS node,
+          CAST(sum((p.rank * 17 * e.n_links) // (20 * o.total)) AS BIGINT) AS inc
+        FROM olp_edges e
+        JOIN {prev} p ON e.src_domain = p.node
+        JOIN pr_out o ON e.src_domain = o.src_domain
+        GROUP BY 1
+      ) s ON n.node = s.node
+    )""")
+        prev = f"pr{r}"
+    rounds_sql = ", ".join(rounds)
+    return f"""
+    WITH {_outlink_edges_ctes()},
+    pr_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src_domain AS node FROM olp_edges
+        UNION ALL SELECT dst_domain FROM olp_edges
+      )
+    ),
+    pr_out AS (
+      SELECT src_domain, CAST(sum(n_links) AS BIGINT) AS total
+      FROM olp_edges GROUP BY 1
+    ),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM pr_nodes),
+    {rounds_sql}
+    SELECT node AS domain, rank AS rank_micro FROM {prev}
+    """
+
+
+@_register("domain_pagerank", _pagerank_oracle_sql(3))
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed-point PageRank rounds over the outlink domain graph:
+    ranks are exact BIGINT micro-units with rational 17/20 damping
+    applied by integer division, so sums commute and the result is
+    bit-identical across partitionings AND engines — the
+    order-independence device that makes an iterative float algorithm
+    oracle-checkable (see `operators/pagerank.py` for the truncation
+    semantics and the per-round lineage-checkpoint scale shape)."""
+    from .operators.pagerank import pagerank_fixed
+    from .operators.urltools import outlink_domain_edges
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>see <a href="'),
+        _outlink_target_expr(i * 3 + 1),
+        F.lit('">one</a> and <a class="x" href="'),
+        _outlink_target_expr(i * 5 + 2),
+        F.lit('">two</a></p><p><a href="'),
+        _outlink_target_expr(i * 7 + 3),
+        F.lit('">three</a></p></body></html>'),
+    )
+    pages = docs.select(_synth_url_expr().alias("url"), html.alias("html"))
+    edges = outlink_domain_edges(pages, "html", "url")
+    ranks = pagerank_fixed(edges, iters=3)
+    return ranks.select(F.col("node").alias("domain"), F.col("rank").alias("rank_micro"))
