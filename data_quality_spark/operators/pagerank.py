@@ -44,13 +44,22 @@ def pagerank_fixed(
     checkpoint_every: int = 5,
 ) -> DataFrame:
     """Run `iters` fixed-point PageRank rounds; returns (node, rank)."""
+    from pyspark.storagelevel import StorageLevel
+
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out_tot = edges.groupBy(src).agg(F.sum(weight).cast("bigint").alias("_total"))
-    e = edges.join(out_tot, src)
+    # nodes and the degree-annotated edge list feed EVERY round — without
+    # persisting them, each iteration re-derives the edge list from its
+    # upstream lineage (e.g. href extraction over the full corpus), which
+    # is exactly the multi-consumer recompute diamond CLAUDE.md warns
+    # about; both tables are domain-graph-sized, orders of magnitude
+    # below the page corpus.
+    e = edges.join(out_tot, src).persist(StorageLevel.MEMORY_AND_DISK)
     base = (unit * (damp_den - damp_num)) // damp_den
     ranks = nodes.select("node", F.lit(unit).cast("bigint").alias("rank"))
     for r in range(iters):

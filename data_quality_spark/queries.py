@@ -3851,22 +3851,21 @@ _TOP_NGRAM_SQL = f"""
 def top_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's top-n-gram repetition signal: per doc the most frequent
     word 2- and 3-gram (deterministic count-desc/gram-asc tiebreak) and
-    the character fraction each covers.  `(id, gram)` pairs are the only
-    shuffle; the rank window partitions by the high-cardinality doc id
-    (see `operators/text_analysis.py:top_ngram_stats`).  Complements the
-    dup-2gram fraction already in the rule registry (`rules.py:88`)."""
-    from .operators.text_analysis import top_ngram_stats
+    the character fraction each covers.  `(id, n, gram)` tuples are the
+    only shuffle; both n values share ONE explode / count agg / rank
+    window via the fused tagged-gram formulation (measured 12 -> 3
+    exchanges vs the per-n join, whose branch subtrees recompute as
+    multi-consumer diamonds; see
+    `operators/text_analysis.py:top_ngram_stats_multi`).  Complements
+    the dup-2gram fraction already in the rule registry (`rules.py:88`)."""
+    from .operators.text_analysis import top_ngram_stats_multi
 
     docs = _read_wide(spark, sf_dir, "documents")
-    t2 = top_ngram_stats(docs, "text", "doc_id", 2)
-    t3 = top_ngram_stats(docs, "text", "doc_id", 3)
-    return (
-        t2.join(t3, "doc_id")
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            "top2_gram", "top2_cnt", "top2_frac",
-            "top3_gram", "top3_cnt", "top3_frac",
-        )
+    out = top_ngram_stats_multi(docs, "text", "doc_id", (2, 3))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "top2_gram", "top2_cnt", "top2_frac",
+        "top3_gram", "top3_cnt", "top3_frac",
     )
 
 
