@@ -213,7 +213,13 @@ def _gen_row(seed: int, i: int) -> tuple[str, datetime, bytes, str, str]:
         vocab = ("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
         text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(40, 120)))
 
-    html = f"<html><body><p>{text}</p></body></html>".encode("utf-8")
+    # well-formed markup (entities escaped, one <p> per paragraph) so the
+    # input_hint's per-row invariant — extract(html) byte-equals text per
+    # url — holds for EVERY row incl. symbol-soup docs containing <>&;
+    # gated by tests/test_htmltext.py::test_pages_fixture_extraction_invariant
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    paras = esc.replace("\n", "</p><p>")
+    html = f"<html><body><p>{paras}</p></body></html>".encode("utf-8")
     # noisy prior label: 15% wrong, 10% empty
     lr = rng.random()
     if lr < 0.10:

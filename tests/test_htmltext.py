@@ -77,3 +77,21 @@ def test_extraction_plan_has_no_exchange(spark):
     out = df.select(extract_text_expr(F.col("text")).alias("t"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pages_fixture_extraction_invariant(spark):
+    """input_hint per-row invariant: extracted text byte-equals the text
+    column for every url of the product pages fixture."""
+    from data_quality_spark.schema import synthesize_pages
+
+    pages = synthesize_pages(spark, 300)
+    mism = (
+        pages.select(
+            "url",
+            extract_text_expr(F.col("html").cast("string")).alias("ex"),
+            "text",
+        )
+        .filter(F.col("ex") != F.col("text"))
+        .count()
+    )
+    assert mism == 0
