@@ -89,3 +89,24 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_pages_stream(pages_stream: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Streaming canonical-URL dedup: recrawl copies of a page arriving
+    within the watermark are dropped on the canonical key (first
+    arrival wins), BEFORE any model work runs — the streaming twin of
+    `urltools.url_duplicate_groups`'s keep-first semantics.
+
+    `dropDuplicatesWithinWatermark` retains per-key state only until
+    the event-time watermark passes (bounded state at crawl scale),
+    unlike `dropDuplicates`, whose state grows with every key seen.
+    The canonicalizer is the same scan-side expression as the batch
+    path, so batch and streaming agree on what "the same page" means.
+    """
+    from ..operators.urltools import canonical_url
+
+    return (
+        pages_stream.withColumn("canonical_url", canonical_url(F.col("url")))
+        .withWatermark("warc_ts", delay)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )

@@ -66,3 +66,34 @@ def test_windowed_metrics(spark, tmp_path):
     for r in rows:
         assert 0 <= r["kept_total"] <= r["rows_total"]
         assert r["non_empty_pass"] <= r["rows_total"]
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    from data_quality_spark.operators.urltools import canonical_url
+    from data_quality_spark.streaming.pipeline import dedup_pages_stream
+
+    in_dir = str(tmp_path / "in3")
+    base = synthesize_pages(spark, 150, partitions=2)
+    # recrawl copies: same pages under tracking-param + fragment variants
+    dup = base.withColumn("url", F.concat("url", F.lit("?utm_source=feed#x")))
+    base.union(dup).write.parquet(in_dir)
+
+    stream = dedup_pages_stream(read_pages_stream(spark, in_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT canonical_url FROM dedup_stream").collect()
+    keys = [r["canonical_url"] for r in got]
+    # one row per canonical key, matching the batch dedup
+    want = (
+        spark.read.parquet(in_dir)
+        .select(canonical_url(F.col("url")).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert len(keys) == len(set(keys)) == want == 150
