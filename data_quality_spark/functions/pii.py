@@ -71,11 +71,19 @@ def scrub_valid_cards(text: Column, repl: str = "<CARD>") -> Column:
     valid = F.filter(
         cands, lambda c: luhn_valid(F.regexp_replace(c, r"[- ]", ""))
     )
-    # sorted fold: bytewise replace order is engine-identical even when
-    # one candidate is a substring of another (list_distinct order is
-    # unspecified in DuckDB)
+    # Boundary-anchored replace: a bare substring replace would rewrite a
+    # valid card appearing INSIDE a longer digit run that was never a
+    # candidate (e.g. a 20-digit serial whose first 16 digits check out).
+    # Candidates contain only digits/dash/space, so the candidate text is
+    # regex-literal and `\b<candidate>\b` is exact in Java/`re`/RE2.
+    # Sorted fold: engine-identical order (DuckDB list_distinct order is
+    # unspecified).
     return F.aggregate(
-        F.array_sort(valid), text, lambda acc, c: F.replace(acc, c, F.lit(repl))
+        F.array_sort(valid),
+        text,
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")), F.lit(repl)
+        ),
     )
 
 
@@ -110,5 +118,6 @@ def scrub_valid_cards_sql(text: str, repl: str = "<CARD>") -> str:
     return (
         f"list_reduce(list_prepend({text}, list_sort(list_filter("
         f"list_distinct(regexp_extract_all({text}, '{CARD_CANDIDATE_RX}', 0)), "
-        f"c -> {luhn_valid_sql(stripped)}))), (acc, x) -> replace(acc, x, '{repl}'))"
+        f"c -> {luhn_valid_sql(stripped)}))), "
+        f"(acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '{repl}', 'g'))"
     )

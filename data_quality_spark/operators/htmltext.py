@@ -50,14 +50,20 @@ DROP_BLOCK_TAGS: tuple[str, ...] = ("script", "style", "head", "nav", "footer", 
 
 COMMENT_RX = r"(?s)<!--.*?-->"
 
+# CDATA sections are opaque payload, dropped wholesale (before the
+# generic tag strip, whose [^>]* would stop at any '>' in the payload).
+CDATA_RX = r"(?s)<!\[CDATA\[.*?\]\]>"
+
 # Block-level tags become newlines (paragraph/section boundaries).
 BLOCK_TAG_RX = (
     r"(?is)</?(?:p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody"
     r"|section|article|header|main|figure|figcaption|blockquote|pre|hr|form)\b[^>]*>"
 )
 
-# Any remaining tag is dropped (inline markup: a/span/em/…).
-ANY_TAG_RX = r"(?s)</?[a-zA-Z][^>]*>"
+# Any remaining tag or declaration is dropped (inline markup a/span/em/…,
+# plus <!DOCTYPE …> / <?xml …?> — real Common-Crawl pages lead with a
+# doctype, so the leading [!/?]? matters on every page).
+ANY_TAG_RX = r"(?s)<[!/?]?[a-zA-Z][^>]*>"
 
 # Basic entity set, decoded in order — `&amp;` LAST so literal text that
 # round-tripped through escaping (`&lt;` → `&amp;lt;`) decodes once, not
@@ -101,6 +107,7 @@ def extract_text_expr(col: Column) -> Column:
     out = col
     for tag in DROP_BLOCK_TAGS:
         out = F.regexp_replace(out, _drop_block_rx(tag), "")
+    out = F.regexp_replace(out, CDATA_RX, "")
     out = F.regexp_replace(out, COMMENT_RX, "")
     out = F.regexp_replace(out, BLOCK_TAG_RX, "\n")
     out = F.regexp_replace(out, ANY_TAG_RX, "")
@@ -120,6 +127,7 @@ def escape_text_expr(col: Column) -> Column:
 # --- Python twin (compiled once per worker / test process) -----------------
 
 _PY_DROPS = tuple(re.compile(_drop_block_rx(t)) for t in DROP_BLOCK_TAGS)
+_PY_CDATA = re.compile(CDATA_RX)
 _PY_COMMENT = re.compile(COMMENT_RX)
 _PY_BLOCK = re.compile(BLOCK_TAG_RX)
 _PY_ANY = re.compile(ANY_TAG_RX)
@@ -142,6 +150,7 @@ def extract_text_str(s: str | None) -> str | None:
         return None
     for cre in _PY_DROPS:
         s = cre.sub("", s)
+    s = _PY_CDATA.sub("", s)
     s = _PY_COMMENT.sub("", s)
     s = _PY_BLOCK.sub("\n", s)
     s = _PY_ANY.sub("", s)
@@ -169,15 +178,13 @@ def extract_text_sql(expr: str) -> str:
     out = expr
     for tag in DROP_BLOCK_TAGS:
         out = f"regexp_replace({out}, {_sql_str(_drop_block_rx(tag))}, '', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(CDATA_RX)}, '', 'g')"
     out = f"regexp_replace({out}, {_sql_str(COMMENT_RX)}, '', 'g')"
     out = f"regexp_replace({out}, {_sql_str(BLOCK_TAG_RX)}, chr(10), 'g')"
     out = f"regexp_replace({out}, {_sql_str(ANY_TAG_RX)}, '', 'g')"
     for ent, ch in ENTITIES:
         out = f"replace({out}, {_sql_str(ent)}, {_sql_str(ch)})"
-    out = f"regexp_replace({out}, {_sql_str(WS_BLANKS_RX)}, ' ', 'g')"
-    out = f"regexp_replace({out}, {_sql_str(WS_AROUND_NL_RX)}, chr(10), 'g')"
-    out = f"regexp_replace({out}, {_sql_str(WS_MULTI_NL_RX)}, chr(10), 'g')"
-    return f"trim({out}, ' ' || chr(10))"
+    return ws_normalize_sql(out)
 
 
 def ws_normalize_sql(expr: str) -> str:

@@ -82,4 +82,9 @@ def pagerank_fixed(
         )
         if (r + 1) % checkpoint_every == 0 and (r + 1) < iters:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the result, then release the loop-invariant caches —
+    # otherwise every call leaks two cached tables for the session's life
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    e.unpersist()
     return ranks

@@ -174,49 +174,10 @@ def top_ngram_stats(
 ) -> DataFrame:
     """Most frequent word n-gram per document plus the character mass it
     covers (the Gopher `top-n-gram character fraction` repetition
-    signal): per doc, the winning gram (count desc, then bytewise-
-    smallest gram for a deterministic tiebreak), its occurrence count,
-    and ``cnt * length(gram) / length(text)``.
-
-    Scale shape: the explode shuffles `(id, gram)` pairs only, counts
-    partial-aggregate map-side, and the rank window partitions by the
-    HIGH-cardinality doc id (balanced — the opposite of the few-giant-
-    strata case `stratified_reservoir_k` avoids).  Docs with fewer than
-    n words surface with an empty-string gram and zero counts (no NULLs
-    in contract outputs)."""
-    from pyspark.sql.window import Window
-
-    from ..functions.textstats import ngrams_from_words
-
-    lws = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-    )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.length(F.col(text_col)).cast("bigint").alias("_nc"),
-        ngrams_from_words(lws, n).alias("_grams"),
-    )
-    counts = (
-        base.select("_id", F.explode("_grams").alias("_g"))
-        .groupBy("_id", "_g")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
-    )
-    w = Window.partitionBy("_id").orderBy(F.col("_cnt").desc(), F.col("_g").asc())
-    top = counts.select("_id", "_g", "_cnt", F.row_number().over(w).alias("_rn")).filter(
-        F.col("_rn") == 1
-    )
-    joined = base.select("_id", "_nc").join(top.drop("_rn"), "_id", "left")
-    gram = F.coalesce(F.col("_g"), F.lit(""))
-    cnt = F.coalesce(F.col("_cnt"), F.lit(0).cast("bigint"))
-    frac = F.when(
-        F.col("_nc") > 0, cnt * F.length(gram).cast("bigint") / F.col("_nc")
-    ).otherwise(F.lit(0.0))
-    return joined.select(
-        F.col("_id").alias(id_col),
-        gram.alias(f"top{n}_gram"),
-        cnt.alias(f"top{n}_cnt"),
-        frac.alias(f"top{n}_frac"),
-    )
+    signal) — single-n convenience wrapper over
+    :func:`top_ngram_stats_multi` (one implementation owns the
+    tiebreak/no-NULL conventions)."""
+    return top_ngram_stats_multi(df, text_col, id_col, (n,))
 
 
 def top_ngram_stats_multi(

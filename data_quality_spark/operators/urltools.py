@@ -173,9 +173,11 @@ def domain_quality_profile(
     return agg.withColumn("keep_rate", F.col("n_keep") / F.col("n_docs"))
 
 
-# href attribute of anchor tags (Java/RE2/`re` common subset; group 1 is
-# the target URL)
-HREF_RX = r"<a\s+[^>]*href=\"([^\"]*)\""
+# href attribute of anchor tags (group 1 is the target URL).  The
+# whitespace class is spelled explicitly because `\s` is NOT in the
+# Java/RE2 common subset (Java includes \x0B, RE2 does not — the same
+# dialect trap as \v in operators/htmltext.py).
+HREF_RX = r"<a[ \t\n\r\f]+[^>]*href=\"([^\"]*)\""
 
 
 def outlink_domain_edges(

@@ -3513,19 +3513,9 @@ def _domain_quality_oracle_sql() -> str:
     from .operators.urltools import MULTI_SUFFIXES, URL_RX
 
     suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
-    quality = f"""( least(CASE WHEN len(ws) > 0
-              THEN len(list_filter(lws, x -> list_contains({_SQL_STOPLIST}, x))) / len(ws)
-              ELSE 0.0 END * 2.5, 1.0)
-      + CASE WHEN len(ws) > 0 THEN len(list_distinct(lws)) / len(ws) ELSE 0.0 END
-      + CASE WHEN len(ws) > 0
-             THEN len(list_filter(ws, x -> regexp_matches(x, '\\p{{L}}'))) / len(ws)
-             ELSE 0.0 END
-      + (1.0 - least(CASE WHEN length(text) > 0
-                     THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) / length(text)
-                     ELSE 0.0 END * 3.0, 1.0))
-      + CASE WHEN len(ws) BETWEEN 50 AND 5000 THEN 1.0
-             WHEN len(ws) > 0 THEN 0.5 ELSE 0.0 END
-      ) / 5.0"""
+    quality = _SQL_QUALITY
+    # conjunction of the same rule fragments doc_quality_rules's oracle
+    # exposes as separate columns (keep both in sync with rules.py)
     keep = f"""((len(ws) >= {MIN_WORDS})
       AND (len(ws) > 0 AND
            list_sum(list_transform(ws, x -> length(x))) / len(ws) >= {MIN_MEAN_WORD_LEN} AND
@@ -3922,11 +3912,13 @@ def _outlink_edges_ctes() -> str:
         + " || '\">two</a></p><p><a href=\"' || " + _outlink_target_sql("doc_id * 7 + 3")
         + " || '\">three</a></p></body></html>')"
     )
+    from .operators.urltools import HREF_RX
+
     return f"""olp_pages AS (
       SELECT doc_id, {_SQL_SYNTH_URL} AS url, {html} AS html FROM documents
     ), olp_links AS (
       SELECT {_sql_registered_domain(_sql_host_of("url"))} AS src_domain,
-        unnest(regexp_extract_all(html, '<a\\s+[^>]*href="([^"]*)"', 1)) AS href
+        unnest(regexp_extract_all(html, '{HREF_RX}', 1)) AS href
       FROM olp_pages
     ), olp_edges AS (
       SELECT src_domain,
@@ -3959,6 +3951,23 @@ def _outlink_target_expr(t: F.Column) -> F.Column:
     )
 
 
+def _outlink_pages(docs: DataFrame) -> DataFrame:
+    """Spark twin of the `olp_pages` CTE (shared anchor fixture for the
+    outlink-graph and PageRank queries — one definition so the two can't
+    desynchronize from their shared oracle CTEs)."""
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>see <a href="'),
+        _outlink_target_expr(i * 3 + 1),
+        F.lit('">one</a> and <a class="x" href="'),
+        _outlink_target_expr(i * 5 + 2),
+        F.lit('">two</a></p><p><a href="'),
+        _outlink_target_expr(i * 7 + 3),
+        F.lit('">three</a></p></body></html>'),
+    )
+    return docs.select(_synth_url_expr().alias("url"), html.alias("html"))
+
+
 @_register("outlink_graph_pages", _outlink_oracle_sql())
 def outlink_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-domain link graph over a deterministic anchor fixture
@@ -3972,18 +3981,7 @@ def outlink_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     — training-pipeline extension."""
     from .operators.urltools import outlink_domain_edges
 
-    docs = _read(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    html = F.concat(
-        F.lit('<html><body><p>see <a href="'),
-        _outlink_target_expr(i * 3 + 1),
-        F.lit('">one</a> and <a class="x" href="'),
-        _outlink_target_expr(i * 5 + 2),
-        F.lit('">two</a></p><p><a href="'),
-        _outlink_target_expr(i * 7 + 3),
-        F.lit('">three</a></p></body></html>'),
-    )
-    pages = docs.select(_synth_url_expr().alias("url"), html.alias("html"))
+    pages = _outlink_pages(_read(spark, sf_dir, "documents"))
     return outlink_domain_edges(pages, "html", "url")
 
 
@@ -4039,18 +4037,7 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pagerank import pagerank_fixed
     from .operators.urltools import outlink_domain_edges
 
-    docs = _read(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    html = F.concat(
-        F.lit('<html><body><p>see <a href="'),
-        _outlink_target_expr(i * 3 + 1),
-        F.lit('">one</a> and <a class="x" href="'),
-        _outlink_target_expr(i * 5 + 2),
-        F.lit('">two</a></p><p><a href="'),
-        _outlink_target_expr(i * 7 + 3),
-        F.lit('">three</a></p></body></html>'),
-    )
-    pages = docs.select(_synth_url_expr().alias("url"), html.alias("html"))
+    pages = _outlink_pages(_read(spark, sf_dir, "documents"))
     edges = outlink_domain_edges(pages, "html", "url")
     ranks = pagerank_fixed(edges, iters=3)
     return ranks.select(F.col("node").alias("domain"), F.col("rank").alias("rank_micro"))

@@ -93,15 +93,20 @@ def run_stream_once(
 
 def dedup_pages_stream(pages_stream: DataFrame, delay: str = "2 hours") -> DataFrame:
     """Streaming canonical-URL dedup: recrawl copies of a page arriving
-    within the watermark are dropped on the canonical key (first
-    arrival wins), BEFORE any model work runs — the streaming twin of
-    `urltools.url_duplicate_groups`'s keep-first semantics.
+    within the watermark are dropped on the canonical key BEFORE any
+    model work runs.
 
     `dropDuplicatesWithinWatermark` retains per-key state only until
     the event-time watermark passes (bounded state at crawl scale),
     unlike `dropDuplicates`, whose state grows with every key seen.
     The canonicalizer is the same scan-side expression as the batch
     path, so batch and streaming agree on what "the same page" means.
+
+    Determinism caveat: the surviving ROW per key is whichever copy the
+    operator saw first within a micro-batch (partition-order dependent)
+    — the canonical-key SET is deterministic, the surviving payload is
+    not.  When keep-first-by-id semantics matter, use the batch
+    `urltools.url_duplicate_groups` (min-id keep) downstream instead.
     """
     from ..operators.urltools import canonical_url
 

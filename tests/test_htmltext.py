@@ -95,3 +95,11 @@ def test_pages_fixture_extraction_invariant(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_doctype_and_cdata_dropped():
+    assert extract_text_str("<!DOCTYPE html><html><body><p>hi</p></body></html>") == "hi"
+    assert extract_text_str("<?xml version=\"1.0\"?><p>x</p>") == "x"
+    assert (
+        extract_text_str("<p>a</p><![CDATA[ raw <junk> ]]><p>b</p>") == "a\nb"
+    )

@@ -65,3 +65,12 @@ def test_scrub_masks_only_valid(spark):
     df = spark.createDataFrame([(text,)], ["t"])
     (got,) = df.select(scrub_valid_cards(F.col("t")).alias("s")).collect()[0]
     assert got == "pay <CARD> ref 4111111111111112 ok"
+
+
+def test_valid_card_inside_longer_run_not_masked(spark):
+    # a 20-digit serial whose first 16 digits pass Luhn is NOT a
+    # candidate and must survive untouched (boundary-anchored replace)
+    text = "id 41111111111111110000 pay 4111111111111111 end"
+    df = spark.createDataFrame([(text,)], ["t"])
+    (got,) = df.select(scrub_valid_cards(F.col("t")).alias("s")).collect()[0]
+    assert got == "id 41111111111111110000 pay <CARD> end"
