@@ -171,27 +171,34 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     e2e = timings["quality_pipeline_docs"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "docs_per_sec": round(n_docs / e2e, 1) if e2e else None,
-                "e2e_docs": n_docs,
-                "cpus": int(cpus),
-                # cross-round normalization: busy-loop calibration (min of 3
-                # reps before + 3 after the suite); divide `value` by
-                # `host_factor` (or compare `value_host_normalized` directly)
-                # to compare rounds on this ±3x-noisy shared host
-                "busy_loop_sec": round(busy, 3),
-                "host_factor": host_factor,
-                "value_host_normalized": round(total / host_factor, 3) if host_factor else None,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "docs_per_sec": round(n_docs / e2e, 1) if e2e else None,
+        "e2e_docs": n_docs,
+        "cpus": int(cpus),
+        "n_queries": len(timings),
+        # cross-round normalization: busy-loop calibration (min of 3
+        # reps before + 3 after the suite); divide `value` by
+        # `host_factor` (or compare `value_host_normalized` directly)
+        # to compare rounds on this ±3x-noisy shared host
+        "busy_loop_sec": round(busy, 3),
+        "host_factor": host_factor,
+        "value_host_normalized": round(total / host_factor, 3) if host_factor else None,
+    }
+    # Full per-query map goes to a committed file, NOT stdout: round 4's
+    # 82-entry map outgrew the driver's stdout tail capture and truncated
+    # the headline total (BENCH_r04.json parsed:null).  The stdout line
+    # stays compact; `queries` carries only the 10 slowest (the ones a
+    # reader acts on), `queries_full` points at the rest.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench", "last_run.json")
+    with open(full_path, "w") as fh:
+        json.dump({**summary, "queries": timings}, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({**summary, "queries": slowest, "queries_full": "bench/last_run.json"}))
 
 
 if __name__ == "__main__":

@@ -72,8 +72,12 @@ def scrub_valid_cards(text: Column, repl: str = "<CARD>") -> Column:
         cands, lambda c: luhn_valid(F.regexp_replace(c, r"[- ]", ""))
     )
     # Boundary-anchored replace: a bare substring replace would rewrite a
-    # valid card appearing INSIDE a longer digit run that was never a
-    # candidate (e.g. a 20-digit serial whose first 16 digits check out).
+    # valid card appearing INSIDE a longer UNBROKEN digit run that was
+    # never a candidate (e.g. a 20-digit serial whose first 16 digits
+    # check out).  `\b` guards exactly that case; a digit-to-dash
+    # transition still counts as a word boundary, so a valid card that is
+    # a dash-adjacent prefix of a longer run ("4111111111111111-99") is
+    # conservatively masked too — both engines agree, so parity holds.
     # Candidates contain only digits/dash/space, so the candidate text is
     # regex-literal and `\b<candidate>\b` is exact in Java/`re`/RE2.
     # Sorted fold: engine-identical order (DuckDB list_distinct order is
