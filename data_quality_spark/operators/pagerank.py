@@ -46,6 +46,14 @@ def pagerank_fixed(
     """Run `iters` fixed-point PageRank rounds; returns (node, rank)."""
     from pyspark.storagelevel import StorageLevel
 
+    # edges feeds THREE consumers below (nodes-union, out-degree, the
+    # degree join) — persist it first so its derivation (e.g. the href
+    # explode + registered_domain over the full corpus) runs once, not
+    # three times, and so downstream stages codegen against the cached
+    # relation instead of re-inlining the whole upstream expression tree
+    # (the round-5 public-suffix domain expression pushed those fused
+    # stages over the 64 KB codegen method limit).
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -87,4 +95,5 @@ def pagerank_fixed(
     ranks = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     e.unpersist()
+    edges.unpersist()
     return ranks

@@ -37,19 +37,29 @@ URL_RX = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$
 # Tracking params dropped during canonicalization (name= prefix match).
 TRACKING_PARAM_RX = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
 
-# Multi-label public suffixes for the two/three-label registered-domain
-# heuristic.  A curated high-traffic subset of the public suffix list
-# (publicsuffix.org) — a drop-in data extension, same device as the
-# curated NANPA table in functions/phone_metadata.py.
-MULTI_SUFFIXES: tuple[str, ...] = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "co.kr", "or.kr", "com.br", "net.br", "org.br",
-    "com.mx", "co.in", "net.in", "org.in", "com.cn", "net.cn",
-    "com.tw", "co.za", "com.ar", "com.tr", "co.nz", "net.nz",
-    "com.sg", "com.hk", "co.th", "com.my", "co.id",
+# Multi-label public suffixes for the registered-domain heuristic: the
+# generated ICANN-family snapshot (scripts/gen_public_suffix.py — 1602
+# two-label + 169 three-label rules; regenerate from a canonical
+# public_suffix_list.dat where one is available).  Same generated-table
+# device as the NANPA table in functions/phone_metadata.py.
+#
+# Lookup device: one comma-delimited literal string per rule set,
+# probed with `contains(big, ',' || candidate || ',')`.  A 1602-literal
+# array/IN-list would trip the 64 KB-codegen and JVM-deserialization
+# traps documented in CLAUDE.md; a single ~16 KB string literal with a
+# substring probe stays codegen'd, and hostname labels cannot contain
+# commas so the sentinel is exact.  The TLD pre-gate (~1 KB string)
+# short-circuits the big probes for hosts under single-level TLDs
+# (.com/.net/... — the overwhelming majority of a crawl).
+from ..functions.public_suffix import (  # noqa: E402
+    MULTI_SUFFIXES,
+    MULTI_SUFFIXES_3,
+    MULTI_TLDS,
 )
+
+_S2_SENTINEL = "," + ",".join(MULTI_SUFFIXES) + ","
+_S3_SENTINEL = "," + ",".join(MULTI_SUFFIXES_3) + ","
+_TLD_SENTINEL = "," + ",".join(MULTI_TLDS) + ","
 
 
 def canonical_url(url: Column) -> Column:
@@ -106,21 +116,64 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(out)
 
 
+# Trailing k dot-separated labels of a host ('' when the host has fewer
+# than k labels — regexp_extract's no-match value in Spark AND DuckDB,
+# so the '' guards below need no engine-specific null handling).
+_LASTK_RX = {k: "(" + r"\.".join([r"[^.]+"] * k) + ")$" for k in (1, 2, 3, 4)}
+
+
 def registered_domain(host: Column) -> Column:
     """Registered (pay-level) domain of a hostname: last two labels, or
-    last three when the final two form a multi-label public suffix from
-    `MULTI_SUFFIXES`.  Any `:port` suffix is stripped first.  This is the
-    domain-level grouping/salting key for crawl skew handling."""
+    last three / last four when the trailing labels form a 2-/3-label
+    public suffix from the generated `functions/public_suffix` tables.
+    Any `:port` suffix is stripped first.  This is the domain-level
+    grouping/salting key for crawl skew handling.
+
+    Pure codegen'd expression (4 anchored regexp_extracts + sentinel-
+    string membership probes); `registered_domain_sql` below is the
+    byte-identical DuckDB twin — they share `_LASTK_RX` and the sentinel
+    strings so the two engines cannot drift.
+
+    CALL-SITE RULE: pass a plain column (or project the host into one
+    first).  The expression references its input ~10× and codegen
+    duplicates the input subtree per reference — handing it the full
+    `host_of(url)` tree overflowed the 64 KB method limit and dropped
+    the whole stage to interpreted eval (measured 1.5-2.3× slower,
+    round 5).  Over a bound column reference the tree stays small and
+    the stage stays codegen'd."""
     h = F.regexp_replace(host, ":[0-9]+$", "")
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    last2 = F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1))
-    suffix_arr = F.array(*[F.lit(s) for s in MULTI_SUFFIXES])
-    last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
+    last1 = F.regexp_extract(h, _LASTK_RX[1], 1)
+    last2 = F.regexp_extract(h, _LASTK_RX[2], 1)
+    last3 = F.regexp_extract(h, _LASTK_RX[3], 1)
+    last4 = F.regexp_extract(h, _LASTK_RX[4], 1)
+    probe = lambda big, cand: F.contains(  # noqa: E731
+        F.lit(big), F.concat(F.lit(","), cand, F.lit(","))
+    )
+    gate = probe(_TLD_SENTINEL, last1)
     return (
-        F.when((n >= 3) & F.array_contains(suffix_arr, last2), last3)
-        .when(n >= 2, last2)
+        F.when((last4 != "") & gate & probe(_S3_SENTINEL, last3), last4)
+        .when((last3 != "") & gate & probe(_S2_SENTINEL, last2), last3)
+        .when(last2 != "", last2)
         .otherwise(h)
+    )
+
+
+def registered_domain_sql(host: str) -> str:
+    """DuckDB twin of `registered_domain` over a host SQL expression —
+    generated from the SAME `_LASTK_RX` regexes and sentinel strings the
+    Spark expression uses (single source of truth for both engines)."""
+    h = f"regexp_replace({host}, ':[0-9]+$', '')"
+    last = {k: f"regexp_extract({h}, '{_LASTK_RX[k]}', 1)" for k in (1, 2, 3, 4)}
+    probe = lambda big, cand: (  # noqa: E731
+        f"contains('{big}', ',' || {cand} || ',')"
+    )
+    gate = probe(_TLD_SENTINEL, last[1])
+    return (
+        f"CASE WHEN {last[4]} <> '' AND {gate} AND {probe(_S3_SENTINEL, last[3])} "
+        f"THEN {last[4]} "
+        f"WHEN {last[3]} <> '' AND {gate} AND {probe(_S2_SENTINEL, last[2])} "
+        f"THEN {last[3]} "
+        f"WHEN {last[2]} <> '' THEN {last[2]} ELSE {h} END"
     )
 
 
@@ -159,9 +212,19 @@ def domain_quality_profile(
       integer-ratio keep_rate are bit-stable (parity conventions at the
       top of `queries.py`).
     """
-    dom = registered_domain(host_of(F.col(url_col))).alias("domain")
+    # two-step select: bind the host to a column first (call-site rule
+    # on registered_domain — keeps the hashAgg stage under the codegen
+    # method limit); Catalyst fuses both projections into the same
+    # WholeStageCodegen span, so this costs nothing at runtime
     agg = (
-        df.select(dom, F.col(keep_col).alias("_k"), F.col(score_col).alias("_s"))
+        df.select(
+            host_of(F.col(url_col)).alias("_host"),
+            F.col(keep_col).alias("_k"),
+            F.col(score_col).alias("_s"),
+        )
+        .select(
+            registered_domain(F.col("_host")).alias("domain"), "_k", "_s"
+        )
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -194,12 +257,15 @@ def outlink_domain_edges(
     `(src_domain, href)` string pairs — never page payloads — and the
     edge aggregation partial-combines map-side, so the shuffle is the
     DISTINCT edge set, not the raw link instances."""
-    src_dom = registered_domain(host_of(F.col(src_url_col))).alias("src_domain")
     links = df.select(
-        src_dom,
+        host_of(F.col(src_url_col)).alias("_src_host"),
         F.explode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_RX), 1)).alias("_href"),
+    ).select(
+        # bind hosts to columns before registered_domain (call-site rule)
+        registered_domain(F.col("_src_host")).alias("src_domain"),
+        host_of(F.col("_href")).alias("_dst_host"),
     )
-    dst_dom = registered_domain(host_of(F.col("_href"))).alias("dst_domain")
+    dst_dom = registered_domain(F.col("_dst_host")).alias("dst_domain")
     return (
         links.select("src_domain", dst_dom)
         .groupBy("src_domain", "dst_domain")

@@ -3104,9 +3104,12 @@ def _synth_url_expr() -> F.Column:
 
 
 def _url_dedup_oracle_sql() -> str:
-    from .operators.urltools import MULTI_SUFFIXES, TRACKING_PARAM_RX, URL_RX
+    from .operators.urltools import (
+        TRACKING_PARAM_RX,
+        URL_RX,
+        registered_domain_sql,
+    )
 
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
     return f"""
     WITH pages AS (
       SELECT doc_id,
@@ -3149,22 +3152,9 @@ def _url_dedup_oracle_sql() -> str:
       FROM canon GROUP BY canonical_url
     )
     SELECT canonical_url,
-      CASE WHEN len(labels) >= 3
-                AND (list_extract(labels, -2) || '.' || list_extract(labels, -1)) IN ({suffixes})
-           THEN list_extract(labels, -3) || '.' || list_extract(labels, -2)
-                || '.' || list_extract(labels, -1)
-           WHEN len(labels) >= 2
-           THEN list_extract(labels, -2) || '.' || list_extract(labels, -1)
-           ELSE hostx END AS domain,
+      {registered_domain_sql("regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)")} AS domain,
       n_urls, n_raw_forms, kept_id
-    FROM (
-      SELECT *,
-        regexp_replace(regexp_extract(canonical_url,
-          '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '') AS hostx,
-        string_split(regexp_replace(regexp_extract(canonical_url,
-          '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''), '.') AS labels
-      FROM grp
-    )
+    FROM grp
     """
 
 
@@ -3188,9 +3178,9 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = F.regexp_extract(
         F.col("canonical_url"), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1
     )
-    return groups.select(
+    return groups.withColumn("_host", host).select(
         "canonical_url",
-        registered_domain(host).alias("domain"),
+        registered_domain(F.col("_host")).alias("domain"),
         "n_urls",
         "n_raw_forms",
         "kept_id",
@@ -3510,9 +3500,8 @@ def html_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _domain_quality_oracle_sql() -> str:
-    from .operators.urltools import MULTI_SUFFIXES, URL_RX
+    from .operators.urltools import URL_RX, registered_domain_sql
 
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
     quality = _SQL_QUALITY
     # conjunction of the same rule fragments doc_quality_rules's oracle
     # exposes as separate columns (keep both in sync with rules.py)
@@ -3557,15 +3546,7 @@ def _domain_quality_oracle_sql() -> str:
         FROM scored
       )
     ), dom AS (
-      SELECT *,
-        CASE WHEN len(labels) >= 3
-                  AND (list_extract(labels, -2) || '.' || list_extract(labels, -1)) IN ({suffixes})
-             THEN list_extract(labels, -3) || '.' || list_extract(labels, -2)
-                  || '.' || list_extract(labels, -1)
-             WHEN len(labels) >= 2
-             THEN list_extract(labels, -2) || '.' || list_extract(labels, -1)
-             ELSE host END AS domain
-      FROM (SELECT *, string_split(host, '.') AS labels FROM hosted)
+      SELECT *, {registered_domain_sql("host")} AS domain FROM hosted
     )
     SELECT domain,
       CAST(count(*) AS BIGINT) AS n_docs,
@@ -3878,18 +3859,12 @@ def _sql_host_of(u: str) -> str:
 
 
 def _sql_registered_domain(host: str) -> str:
-    """DuckDB twin of urltools.registered_domain over a host expression."""
-    from .operators.urltools import MULTI_SUFFIXES
+    """DuckDB twin of urltools.registered_domain over a host expression
+    (delegates to the generator that lives next to the Spark expression
+    so the two engines share one source of truth)."""
+    from .operators.urltools import registered_domain_sql
 
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
-    h = f"regexp_replace({host}, ':[0-9]+$', '')"
-    labels = f"string_split({h}, '.')"
-    last2 = f"(list_extract({labels}, -2) || '.' || list_extract({labels}, -1))"
-    last3 = f"(list_extract({labels}, -3) || '.' || {last2})"
-    return (
-        f"CASE WHEN len({labels}) >= 3 AND {last2} IN ({suffixes}) THEN {last3} "
-        f"WHEN len({labels}) >= 2 THEN {last2} ELSE {h} END"
-    )
+    return registered_domain_sql(host)
 
 
 def _outlink_target_sql(t: str) -> str:

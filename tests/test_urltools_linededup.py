@@ -63,6 +63,18 @@ DOMAIN_VECTORS = [
     ("example.com.au", "example.com.au"),
     ("localhost", "localhost"),
     ("example.com:8080", "example.com"),
+    # breadth from the generated PSL snapshot (round 5)
+    ("shop.example.co.il", "example.co.il"),
+    ("example.com.co", "example.com.co"),
+    ("a.example.org.nz", "example.org.nz"),
+    ("www.pref.osaka.jp", "pref.osaka.jp"),
+    # 3-label public suffixes → registered domain is the last FOUR labels
+    ("myschool.k12.ca.us", "myschool.k12.ca.us"),
+    ("www.myschool.k12.ca.us", "myschool.k12.ca.us"),
+    ("college.vic.edu.au", "college.vic.edu.au"),
+    ("x.county.lib.tx.us", "county.lib.tx.us"),
+    # single-level TLD hosts never touch the big probes (TLD pre-gate)
+    ("deep.sub.example.net", "example.net"),
 ]
 
 
