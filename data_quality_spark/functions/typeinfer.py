@@ -110,14 +110,41 @@ _MON_PT = "(?:" + "|".join(MONTHS_PT) + ")"
 _MON_NL = "(?:" + "|".join(MONTHS_NL) + ")"
 _HMS = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
 _HM = r"(?:[0-1][0-9]|2[0-3]):[0-5][0-9]"
+_H1MS = r"(?:[0-9]|1[0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"   # H:mm:ss
+_H1M = r"(?:[0-9]|1[0-9]|2[0-3]):[0-5][0-9]"               # H:mm
+_H12M = r"(?:[1-9]|1[0-2]):[0-5][0-9]"                     # h:mm (12h)
+# English day names (EEEE / EEE / EEE-with-comma forms; explicit literals
+# rather than \p{L} classes so the exact same bytes run in RE2)
+_DAY = r"(?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday)"
+_DAY3 = r"(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
+_MS3 = r"[0-9]{3}"                                          # SSS millis
+_TZ = r"[A-Z]{2,5}"                                         # z zone name
+_OFF = r"[+-](?:0[0-9]|1[0-9]|2[0-3])[0-5][0-9]"            # Z  (+0500)
+_OFFC = r"[+-](?:0[0-9]|1[0-9]|2[0-3]):[0-5][0-9]"          # XXX (+05:00)
 
 DATE_REGEXES: tuple[tuple[str, str], ...] = (
-    # ISO + datetime first (highest expected frequency in web data)
+    # ISO + datetime first (highest expected frequency in web data).
+    # In-family order is load-bearing: earlier entries win ambiguous
+    # values, and the round-4 entries stay ahead of the round-5 breadth
+    # additions so existing classifications are unchanged.
     ("yyyy-MM-dd", rf"^{_Y4}-{_MM}-{_DD}$"),
     ("yyyy-MM-dd HH:mm:ss", rf"^{_Y4}-{_MM}-{_DD} {_HMS}$"),
     ("yyyy-MM-dd'T'HH:mm:ss", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}$"),
     ("yyyy-MM-dd'T'HH:mm:ss'Z'", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}Z$"),
     ("yyyy-MM-dd HH:mm:ss.S", rf"^{_Y4}-{_MM}-{_DD} {_HMS}\.[0-9]{{1,3}}$"),
+    # ISO/dash breadth (reference Groups 7/18/34/35/36)
+    ("yyyy-M-d", rf"^{_Y4}-{_M}-{_D}$"),
+    ("yyyy-MM-dd HH:mm", rf"^{_Y4}-{_MM}-{_DD} {_HM}$"),
+    ("yyyy-MM-dd H:mm:ss", rf"^{_Y4}-{_MM}-{_DD} {_H1MS}$"),
+    ("yyyy-MM-dd h:mm a", rf"^{_Y4}-{_MM}-{_DD} {_H12M} (?:AM|PM)$"),
+    ("yyyy-MM-dd HH:mm:ss,SSS", rf"^{_Y4}-{_MM}-{_DD} {_HMS},{_MS3}$"),
+    ("yyyy-MM-dd HH:mm:ssXXX", rf"^{_Y4}-{_MM}-{_DD} {_HMS}{_OFFC}$"),
+    ("yyyy-MM-ddXXX", rf"^{_Y4}-{_MM}-{_DD}{_OFFC}$"),
+    ("yyyy-MM-dd'T'HH:mm:ss.SSS", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}\.{_MS3}$"),
+    ("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}\.{_MS3}Z$"),
+    ("yyyy-MM-dd'T'HH:mm:ssXXX", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}{_OFFC}$"),
+    ("yyyy-DDDXXX", rf"^{_Y4}-[0-9]{{1,3}}{_OFFC}$"),
+    ("YYYY-'W'w-c", rf"^{_Y4}-W(?:[1-4]?[0-9]|5[0-2])-[1-7]$"),
     # slash family
     ("M/d/yyyy", rf"^{_M}/{_D}/{_Y4}$"),
     ("MM/dd/yyyy", rf"^{_MM}/{_DD}/{_Y4}$"),
@@ -125,26 +152,51 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("dd/MM/yyyy", rf"^{_DD}/{_MM}/{_Y4}$"),
     ("yyyy/MM/dd", rf"^{_Y4}/{_MM}/{_DD}$"),
     ("yyyy/M/d", rf"^{_Y4}/{_M}/{_D}$"),
-    ("M/d/yyyy H:mm", rf"^{_M}/{_D}/{_Y4} (?:[0-9]|1[0-9]|2[0-3]):[0-5][0-9]$"),
+    ("M/d/yyyy H:mm", rf"^{_M}/{_D}/{_Y4} {_H1M}$"),
     # 2-digit-year slash family (reference Group 1)
     ("M/d/yy", rf"^{_M}/{_D}/{_Y2}$"),
     ("MM/dd/yy", rf"^{_MM}/{_DD}/{_Y2}$"),
     ("dd/MM/yy", rf"^{_DD}/{_MM}/{_Y2}$"),
     ("d/MM/yy", rf"^{_D}/{_MM}/{_Y2}$"),
+    # slash breadth (reference Groups 1/8/19/27)
+    ("yy/MM/dd", rf"^{_Y2}/{_MM}/{_DD}$"),
+    ("dd/MM/yyyy HH:mm:ss", rf"^{_DD}/{_MM}/{_Y4} {_HMS}$"),
+    ("MM/dd/yyyy HH:mm:ss", rf"^{_MM}/{_DD}/{_Y4} {_HMS}$"),
+    ("d/M/yyyy H:mm:ss", rf"^{_D}/{_M}/{_Y4} {_H1MS}$"),
+    ("dd/MM/yyyy HH:mm", rf"^{_DD}/{_MM}/{_Y4} {_HM}$"),
+    ("MM/dd/yyyy HH:mm", rf"^{_MM}/{_DD}/{_Y4} {_HM}$"),
+    ("M/d/yyyy h:mm a", rf"^{_M}/{_D}/{_Y4} {_H12M} (?:AM|PM)$"),
+    ("yyyy/MM/dd HH:mm:ss", rf"^{_Y4}/{_MM}/{_DD} {_HMS}$"),
     # dash family
     ("dd-MM-yyyy", rf"^{_DD}-{_MM}-{_Y4}$"),
     ("M-d-yyyy", rf"^{_M}-{_D}-{_Y4}$"),
     ("yy-MM-dd", rf"^{_Y2}-{_MM}-{_DD}$"),
     ("MM-dd-yy", rf"^{_MM}-{_DD}-{_Y2}$"),
     ("d-M-yy", rf"^{_D}-{_M}-{_Y2}$"),
+    # dash breadth (reference Groups 3/7/18/29)
+    ("MM-dd-yyyy", rf"^{_MM}-{_DD}-{_Y4}$"),
+    ("dd-MM-yy", rf"^{_DD}-{_MM}-{_Y2}$"),
+    ("MM-dd-yyyy HH:mm:ss", rf"^{_MM}-{_DD}-{_Y4} {_HMS}$"),
+    ("dd-MM-yyyy HH:mm:ss", rf"^{_DD}-{_MM}-{_Y4} {_HMS}$"),
     # dot family (reference Groups 2/5)
     ("dd.MM.yyyy", rf"^{_DD}\.{_MM}\.{_Y4}$"),
     ("d.M.yyyy", rf"^{_D}\.{_M}\.{_Y4}$"),
     ("yyyy.MM.dd", rf"^{_Y4}\.{_MM}\.{_DD}$"),
     ("dd.MM.yy", rf"^{_DD}\.{_MM}\.{_Y2}$"),
     ("d.M.yy", rf"^{_D}\.{_M}\.{_Y2}$"),
-    # compact
+    # dot breadth (reference Groups 2/5/15/26)
+    ("d.MM.yyyy", rf"^{_D}\.{_MM}\.{_Y4}$"),
+    ("yy.M.d", rf"^{_Y2}\.{_M}\.{_D}$"),
+    ("dd.MM.yyyy HH:mm:ss", rf"^{_DD}\.{_MM}\.{_Y4} {_HMS}$"),
+    ("dd.MM.yyyy HH:mm", rf"^{_DD}\.{_MM}\.{_Y4} {_HM}$"),
+    ("d.M.yyyy H:mm", rf"^{_D}\.{_M}\.{_Y4} {_H1M}$"),
+    ("yyyy.MM.dd HH:mm:ss", rf"^{_Y4}\.{_MM}\.{_DD} {_HMS}$"),
+    # compact (reference Group 9)
     ("yyyyMMdd", rf"^{_Y4}{_MM}{_DD}$"),
+    ("yyyyMMddZ", rf"^{_Y4}{_MM}{_DD}{_OFF}$"),
+    # CJK + ISO-week (reference Groups 9/36)
+    ("yyyy'年'M'月'd'日'", rf"^{_Y4}年{_M}月{_D}日$"),
+    ("YYYY'W'wc", rf"^{_Y4}W(?:[1-4]?[0-9]|5[0-2])[1-7]$"),
     # English month names (locale-free subset of reference Group 4)
     ("d-MMM-yyyy", rf"^{_D}-{_MON}-{_Y4}$"),
     ("dd-MMM-yy", rf"^{_DD}-{_MON}-{_Y2}$"),
@@ -152,6 +204,24 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("d MMM yyyy", rf"^{_D} {_MON} {_Y4}$"),
     ("MMMM d, yyyy", rf"^{_MONTH} {_D}, {_Y4}$"),
     ("d MMMM yyyy", rf"^{_D} {_MONTH} {_Y4}$"),
+    # English month/day-name breadth (reference Groups 4/6/14/16/30)
+    ("dd-MMM-yyyy", rf"^{_DD}-{_MON}-{_Y4}$"),
+    ("dd-MMM-yyyy HH:mm:ss", rf"^{_DD}-{_MON}-{_Y4} {_HMS}$"),
+    ("MMM d yyyy", rf"^{_MON} {_D} {_Y4}$"),
+    ("MMMM d yyyy", rf"^{_MONTH} {_D} {_Y4}$"),
+    ("MMM.dd.yyyy", rf"^{_MON}\.{_DD}\.{_Y4}$"),
+    ("MMM d, yyyy h:mm:ss a", rf"^{_MON} {_D}, {_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("dd MMMM yyyy", rf"^{_DD} {_MONTH} {_Y4}$"),
+    ("d MMM yyyy HH:mm:ss", rf"^{_D} {_MON} {_Y4} {_HMS}$"),
+    ("EEEE, MMMM d, yyyy", rf"^{_DAY}, {_MONTH} {_D}, {_Y4}$"),
+    ("EEEE d MMMM yyyy", rf"^{_DAY} {_D} {_MONTH} {_Y4}$"),
+    # RFC 2822 (mail/HTTP) and unix ctime — the two highest-traffic
+    # day-name datetime shapes in crawled web data
+    ("EEE, d MMM yyyy HH:mm:ss Z", rf"^{_DAY3}, {_D} {_MON} {_Y4} {_HMS} {_OFF}$"),
+    ("EEE MMM dd HH:mm:ss z yyyy", rf"^{_DAY3} {_MON} {_DD} {_HMS} {_TZ} {_Y4}$"),
+    # time-led date forms (reference Groups 10/18)
+    ("HH:mm dd/MM/yyyy", rf"^{_HM} {_DD}/{_MM}/{_Y4}$"),
+    ("HH:mm:ss dd-MM-yyyy", rf"^{_HMS} {_DD}-{_MM}-{_Y4}$"),
     # locale month-name families (French / German / Spanish / Italian /
     # Portuguese / Dutch).  Cross-locale month collisions (fr/it
     # "novembre", es/pt/it "agosto", nl "april"/"september" vs their
@@ -175,6 +245,10 @@ TIME_REGEXES: tuple[tuple[str, str], ...] = (
     ("H.mm", r"^(?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
     ("HH:mm:ss z", rf"^{_HMS} [A-Z]{{2,5}}$"),
     ("HH:mm:ss.S", rf"^{_HMS}\.[0-9]{{1,3}}$"),
+    # H.mm.ss sits AFTER the dot-family dates in the flat cascade, so
+    # "10.11.12"-style values keep classifying as d.M.yy (the reference's
+    # Group-2-before-time ordering)
+    ("H.mm.ss", r"^(?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]$"),
 )
 
 # one combined alternation per class → a single codegen'd rlike for is_date
@@ -196,22 +270,44 @@ def _grp(gate: str, *fmts: str) -> tuple[str, tuple[tuple[str, str], ...]]:
 
 DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
     _grp(r"^[0-9]{4}-", "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
-         "yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd HH:mm:ss.S"),
-    _grp(r"^[0-9]{4}/", "yyyy/MM/dd", "yyyy/M/d"),
+         "yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd HH:mm:ss.S",
+         "yyyy-M-d", "yyyy-MM-dd HH:mm", "yyyy-MM-dd H:mm:ss",
+         "yyyy-MM-dd h:mm a", "yyyy-MM-dd HH:mm:ss,SSS", "yyyy-MM-dd HH:mm:ssXXX",
+         "yyyy-MM-ddXXX", "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+         "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-DDDXXX", "YYYY-'W'w-c"),
+    _grp(r"^[0-9]{4}/", "yyyy/MM/dd", "yyyy/M/d", "yyyy/MM/dd HH:mm:ss"),
     _grp(r"^[0-9]{1,2}/", "M/d/yyyy", "MM/dd/yyyy", "d/M/yyyy", "dd/MM/yyyy",
-         "M/d/yyyy H:mm", "M/d/yy", "MM/dd/yy", "dd/MM/yy", "d/MM/yy"),
-    _grp(r"^[0-9]{1,2}-[0-9]", "dd-MM-yyyy", "M-d-yyyy", "yy-MM-dd", "MM-dd-yy", "d-M-yy"),
-    _grp(r"^[0-9]{1,2}-[A-Za-z]", "d-MMM-yyyy", "dd-MMM-yy"),
-    _grp(r"^[0-9]{4}\.", "yyyy.MM.dd"),
+         "M/d/yyyy H:mm", "M/d/yy", "MM/dd/yy", "dd/MM/yy", "d/MM/yy",
+         "yy/MM/dd", "dd/MM/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
+         "d/M/yyyy H:mm:ss", "dd/MM/yyyy HH:mm", "MM/dd/yyyy HH:mm",
+         "M/d/yyyy h:mm a"),
+    _grp(r"^[0-9]{1,2}-[0-9]", "dd-MM-yyyy", "M-d-yyyy", "yy-MM-dd", "MM-dd-yy", "d-M-yy",
+         "MM-dd-yyyy", "dd-MM-yy", "MM-dd-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm:ss"),
+    _grp(r"^[0-9]{1,2}-[A-Za-z]", "d-MMM-yyyy", "dd-MMM-yy",
+         "dd-MMM-yyyy", "dd-MMM-yyyy HH:mm:ss"),
+    _grp(r"^[0-9]{4}\.", "yyyy.MM.dd", "yyyy.MM.dd HH:mm:ss"),
     _grp(r"^[0-9]{1,2}\.", "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy", "H.mm",
-         "d. MMMM yyyy (de)"),
+         "d. MMMM yyyy (de)",
+         "d.MM.yyyy", "yy.M.d", "dd.MM.yyyy HH:mm:ss", "dd.MM.yyyy HH:mm",
+         "d.M.yyyy H:mm", "H.mm.ss"),
     _grp(r"^[0-9]{8}$", "yyyyMMdd"),
-    _grp(r"^[A-Za-z]", "MMM d, yyyy", "MMMM d, yyyy"),
+    _grp(r"^[0-9]{8}[+-]", "yyyyMMddZ"),
+    _grp(r"^[0-9]{4}年", "yyyy'年'M'月'd'日'"),
+    _grp(r"^[0-9]{4}W", "YYYY'W'wc"),
+    _grp(r"^[A-Za-z]", "MMM d, yyyy", "MMMM d, yyyy",
+         "MMM d yyyy", "MMMM d yyyy", "MMM.dd.yyyy", "MMM d, yyyy h:mm:ss a",
+         "EEEE, MMMM d, yyyy", "EEEE d MMMM yyyy",
+         "EEE, d MMM yyyy HH:mm:ss Z", "EEE MMM dd HH:mm:ss z yyyy"),
     # [A-Za-zÀ-ÿ]: French/Spanish months may open with an accented letter (août)
     _grp(r"^[0-9]{1,2} [A-Za-zÀ-ÿ]", "d MMM yyyy", "d MMMM yyyy",
+         "dd MMMM yyyy", "d MMM yyyy HH:mm:ss",
          "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)",
          "d MMMM yyyy (it)", "d 'de' MMMM 'de' yyyy (pt)", "d MMMM yyyy (nl)"),
-    _grp(r"^[0-9]{1,2}:", "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
+    # date-led entries first: mirrors the flat cascade (DATE_REGEXES
+    # before TIME_REGEXES); no value matches both shapes, but the order
+    # keeps the group provably identical to the oracle's flat scan
+    _grp(r"^[0-9]{1,2}:", "HH:mm dd/MM/yyyy", "HH:mm:ss dd-MM-yyyy",
+         "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
          "HH:mm:ss z", "HH:mm:ss.S"),
 )
 

@@ -156,8 +156,9 @@ def datetime_pattern_expr(col, patterns: tuple[tuple[str, str], ...] | None = No
     SystemDateTimePatternManager (format → validating regex, first match
     wins; null when none).  Every test is a codegen'd rlike; the cheap
     prefilter gates the cascade (SystemDateTimePatternManager.java:94-95
-    device).  Default table = 32 date + 8 time patterns
-    (`functions/typeinfer.py` DATE_REGEXES/TIME_REGEXES)."""
+    device).  Default table = the full DATE_REGEXES/TIME_REGEXES
+    recognition table (88 date + 9 time patterns as of round 5,
+    `functions/typeinfer.py`)."""
     if patterns is not None:
         cascade = F.when(F.lit(False), F.lit(None).cast("string"))
         for fmt, rx in patterns:
@@ -178,12 +179,54 @@ def datetime_pattern_expr(col, patterns: tuple[tuple[str, str], ...] | None = No
     return dispatch.otherwise(null_s)
 
 
+def _sql_escape(x: str) -> str:
+    """Escape a regex/name for embedding in a Spark SQL single-quoted
+    literal (backslashes and quotes are escape-processed by the parser)."""
+    return x.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def datetime_pattern_sql_case(col_name: str) -> str:
+    """The SAME two-level gate dispatch as `datetime_pattern_expr`, as one
+    Spark-SQL CASE string over a column name.  Semantically identical
+    (generated from the same DATETIME_GROUPS table) but far cheaper on
+    the driver: building the ~200-branch cascade with chained `when()`
+    Columns cost ~1.1 s of py4j round-trips plus ~4 s of analysis and
+    doomed >64 KB codegen attempts PER PLAN (janino failures are not
+    cached, so every execution re-paid the compile-and-fall-back); the
+    parsed CASE analyzes and codegens clean — measured 6.35 s → 0.68 s
+    warm on the sf0.01 fixture (round 5).  Execution itself was never
+    the cost (0.2 s on a cached plan): this removes a fixed driver-side
+    constant, which is also why it matters for the BENCH numbers but
+    would amortize away at real scale anyway."""
+    outer = []
+    for gate, fam in ti.DATETIME_GROUPS:
+        inner = " ".join(
+            f"WHEN {col_name} RLIKE '{_sql_escape(rx)}' THEN '{_sql_escape(f)}'"
+            for f, rx in fam
+        )
+        outer.append(
+            f"WHEN {col_name} RLIKE '{_sql_escape(gate)}' THEN (CASE {inner} END)"
+        )
+    return "CASE " + " ".join(outer) + " END"
+
+
 def datetime_pattern_frequency(df: DataFrame, column: str) -> DataFrame:
     """Pattern string → count (frequent-date-pattern profiling; feeds the
     SortedList-style ordering of parse attempts)."""
+    # Unrecognized values surface as one NULL-pattern group — the exact
+    # SQL `GROUP BY` semantics the DuckDB oracle runs.  Do NOT add a
+    # `pattern IS NOT NULL` filter here: the optimizer pushes it through
+    # the projection (even from above the aggregate, since it's a
+    # grouping-key predicate), substituting the input expression into
+    # every one of the cascade's ~210 column references — the resulting
+    # filter tree overflowed the 64 KB codegen limit and dropped the
+    # whole scan stage to interpreted eval with per-run janino retry
+    # cost (round 5: 6.4 s → 1.0 s warm on the sf0.01 fixture once the
+    # filter was removed).  Callers that must exclude the NULL group
+    # filter the AGGREGATED output themselves (~|patterns| rows).
     return (
-        df.select(datetime_pattern_expr(F.col(column).cast("string")).alias("pattern"))
-        .filter(F.col("pattern").isNotNull())
+        df.select(F.col(column).cast("string").alias("_ds"))
+        .select(F.expr(datetime_pattern_sql_case("_ds")).alias("pattern"))
         .groupBy("pattern")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -2264,9 +2264,14 @@ def _datetime_oracle_sql() -> str:
     nl = "[" + ", ".join(f"'{m}'" for m in _ti.MONTHS_NL) + "]"
     d_s = "CAST(day(o_orderdate) AS VARCHAR)"
     y_s = "CAST(year(o_orderdate) AS VARCHAR)"
+    hms = (
+        "printf('%02d:%02d:%02d', CAST(o_orderkey % 24 AS INTEGER), "
+        "CAST((o_orderkey * 7) % 60 AS INTEGER), "
+        "CAST((o_orderkey * 13) % 60 AS INTEGER))"
+    )
     return f"""
     WITH d AS (
-      SELECT CASE CAST(o_orderkey % 11 AS INTEGER)
+      SELECT CASE CAST(o_orderkey % 16 AS INTEGER)
         WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
         WHEN 1 THEN strftime(o_orderdate, '%-m/%-d/%Y')
         WHEN 2 THEN strftime(o_orderdate, '%d.%m.%Y')
@@ -2277,10 +2282,17 @@ def _datetime_oracle_sql() -> str:
         WHEN 7 THEN {d_s} || ' ' || ({it})[month(o_orderdate)] || ' ' || {y_s}
         WHEN 8 THEN {d_s} || ' de ' || ({pt})[month(o_orderdate)] || ' de ' || {y_s}
         WHEN 9 THEN {d_s} || ' ' || ({nl})[month(o_orderdate)] || ' ' || {y_s}
-        ELSE printf('%02d:%02d:%02d',
-                    CAST(o_orderkey % 24 AS INTEGER),
-                    CAST((o_orderkey * 7) % 60 AS INTEGER),
-                    CAST((o_orderkey * 13) % 60 AS INTEGER))
+        WHEN 10 THEN strftime(o_orderdate, '%Y-%m-%d') || ' '
+          || printf('%02d:%02d', CAST(o_orderkey % 24 AS INTEGER),
+                    CAST((o_orderkey * 7) % 60 AS INTEGER))
+        WHEN 11 THEN strftime(o_orderdate, '%a') || ', ' || {d_s} || ' '
+          || strftime(o_orderdate, '%b') || ' ' || {y_s} || ' ' || {hms} || ' +0000'
+        WHEN 12 THEN strftime(o_orderdate, '%Y-%m-%d') || 'T' || {hms}
+          || '.' || printf('%03d', CAST(o_orderkey % 1000 AS INTEGER)) || 'Z'
+        WHEN 13 THEN {y_s} || '年' || CAST(month(o_orderdate) AS VARCHAR)
+          || '月' || {d_s} || '日'
+        WHEN 14 THEN strftime(o_orderdate, '%b') || ' ' || {d_s} || ' ' || {y_s}
+        ELSE {hms}
       END AS ds FROM orders
     )
     SELECT CASE {arms} END AS pattern, CAST(count(*) AS BIGINT) AS cnt
@@ -2291,9 +2303,10 @@ def _datetime_oracle_sql() -> str:
 @_register("datetime_patterns_orders", _datetime_oracle_sql())
 def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-date/time-pattern profiling (DateTimePatternRecognizer +
-    SystemDateTimePatternManager regex table) over an 11-format mixed
-    column: ISO, unpadded/padded slash, dot, English-month-abbrev,
-    2-digit-year, FRENCH / GERMAN / ITALIAN / PORTUGUESE / DUTCH
+    SystemDateTimePatternManager regex table, 87 date + 9 time formats)
+    over a 16-format mixed column: ISO date/minute/T-millis-Z, RFC-2822,
+    unpadded/padded slash, dot, English-month (abbrev + no-comma), CJK
+    年月日, 2-digit-year, FRENCH / GERMAN / ITALIAN / PORTUGUESE / DUTCH
     month-name dates (locale families from the reference's
     DateRegexesGrouped.txt), and HH:mm:ss time values.  Ambiguous values
     resolve by cascade order identically in both engines — incl.
@@ -2305,40 +2318,50 @@ def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profiling import datetime_pattern_frequency
 
     o = _read(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    d = F.col("o_orderdate")
 
-    def _month(names):
-        return F.element_at(F.array(*[F.lit(m) for m in names]), F.month(d))
+    # One parsed SQL expression instead of a 16-arm when() chain: the
+    # Column-built chain (with five 12-element array-literal month
+    # lookups) re-paid py4j chatter, analysis, and doomed >64 KB codegen
+    # attempts per plan — the same driver-side constant the cascade
+    # itself paid before datetime_pattern_sql_case (see
+    # operators/profiling.py; measured 8 s → ~1.5 s warm, round 5).
+    def arr(names):
+        # split-of-one-literal, NOT array(12 literals): a CreateArray of
+        # 12 string Literals inside a CASE branch is the r4 JVM-
+        # deserialization/codegen blower (CLAUDE.md); split constant-
+        # folds to the same array as a single node
+        return f"element_at(split('{','.join(names)}', ','), month(o_orderdate))"
 
-    fr_month, de_month = _month(MONTHS_FR), _month(MONTHS_DE)
-    it_month, pt_month, nl_month = _month(MONTHS_IT), _month(MONTHS_PT), _month(MONTHS_NL)
-    day_s = F.dayofmonth(d).cast("string")
-    year_s = F.year(d).cast("string")
-    mixed = o.select(
-        F.when(k % 11 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(k % 11 == 1, F.date_format("o_orderdate", "M/d/yyyy"))
-        .when(k % 11 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
-        .when(k % 11 == 3, F.date_format("o_orderdate", "d-MMM-yyyy"))
-        .when(k % 11 == 4, F.date_format("o_orderdate", "dd/MM/yy"))
-        .when(k % 11 == 5, F.concat(day_s, F.lit(" "), fr_month, F.lit(" "), year_s))
-        .when(k % 11 == 6, F.concat(day_s, F.lit(". "), de_month, F.lit(" "), year_s))
-        .when(k % 11 == 7, F.concat(day_s, F.lit(" "), it_month, F.lit(" "), year_s))
-        .when(
-            k % 11 == 8,
-            F.concat(day_s, F.lit(" de "), pt_month, F.lit(" de "), year_s),
-        )
-        .when(k % 11 == 9, F.concat(day_s, F.lit(" "), nl_month, F.lit(" "), year_s))
-        .otherwise(
-            F.format_string(
-                "%02d:%02d:%02d",
-                (k % 24).cast("int"),
-                ((k * 7) % 60).cast("int"),
-                ((k * 13) % 60).cast("int"),
-            )
-        )
-        .alias("ds")
+    day_s = "cast(day(o_orderdate) as string)"
+    year_s = "cast(year(o_orderdate) as string)"
+    hms = (
+        "format_string('%02d:%02d:%02d', cast(o_orderkey % 24 as int), "
+        "cast((o_orderkey * 7) % 60 as int), cast((o_orderkey * 13) % 60 as int))"
     )
+    ds_sql = f"""CASE cast(o_orderkey % 16 as int)
+      WHEN 0 THEN date_format(o_orderdate, 'yyyy-MM-dd')
+      WHEN 1 THEN date_format(o_orderdate, 'M/d/yyyy')
+      WHEN 2 THEN date_format(o_orderdate, 'dd.MM.yyyy')
+      WHEN 3 THEN date_format(o_orderdate, 'd-MMM-yyyy')
+      WHEN 4 THEN date_format(o_orderdate, 'dd/MM/yy')
+      WHEN 5 THEN concat({day_s}, ' ', {arr(MONTHS_FR)}, ' ', {year_s})
+      WHEN 6 THEN concat({day_s}, '. ', {arr(MONTHS_DE)}, ' ', {year_s})
+      WHEN 7 THEN concat({day_s}, ' ', {arr(MONTHS_IT)}, ' ', {year_s})
+      WHEN 8 THEN concat({day_s}, ' de ', {arr(MONTHS_PT)}, ' de ', {year_s})
+      WHEN 9 THEN concat({day_s}, ' ', {arr(MONTHS_NL)}, ' ', {year_s})
+      WHEN 10 THEN concat(date_format(o_orderdate, 'yyyy-MM-dd'), ' ',
+        format_string('%02d:%02d', cast(o_orderkey % 24 as int),
+                      cast((o_orderkey * 7) % 60 as int)))
+      WHEN 11 THEN concat(date_format(o_orderdate, 'EEE'), ', ', {day_s}, ' ',
+        date_format(o_orderdate, 'MMM'), ' ', {year_s}, ' ', {hms}, ' +0000')
+      WHEN 12 THEN concat(date_format(o_orderdate, 'yyyy-MM-dd'), 'T', {hms},
+        '.', format_string('%03d', cast(o_orderkey % 1000 as int)), 'Z')
+      WHEN 13 THEN concat({year_s}, '年', cast(month(o_orderdate) as string),
+        '月', {day_s}, '日')
+      WHEN 14 THEN concat(date_format(o_orderdate, 'MMM'), ' ', {day_s}, ' ', {year_s})
+      ELSE {hms}
+    END"""
+    mixed = o.select(F.expr(ds_sql).alias("ds"))
     return datetime_pattern_frequency(mixed, "ds").select(
         "pattern", F.col("cnt").cast("long").alias("cnt")
     )
