@@ -67,7 +67,9 @@ ANY_TAG_RX = r"(?s)<[!/?]?[a-zA-Z][^>]*>"
 
 # Basic entity set, decoded in order — `&amp;` LAST so literal text that
 # round-tripped through escaping (`&lt;` → `&amp;lt;`) decodes once, not
-# twice.
+# twice.  Numeric character references decode between the named set and
+# `&amp;` (see NUMREF_RX below) for the same single-decode reason:
+# `&amp;#8217;` must yield the literal text `&#8217;`, not `’`.
 ENTITIES: tuple[tuple[str, str], ...] = (
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -76,6 +78,25 @@ ENTITIES: tuple[tuple[str, str], ...] = (
     ("&nbsp;", " "),
     ("&amp;", "&"),
 )
+
+# Numeric character references: decimal (&#8217;) and hex (&#x2019; /
+# &#X2019;, any digit case, leading zeros allowed).  No backslash in the
+# pattern, so the identical bytes run in Java, `re`, and RE2.
+NUMREF_RX = r"&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
+
+# Decode device (identical in all three engines): collect the DISTINCT
+# refs of the row, sort them (bytewise — refs are pure ASCII), and fold
+# `replace(acc, ref, decoded)` over the document — the pii.py sorted-fold
+# device.  A ref decodes only when its codepoint is a Unicode scalar
+# value (1..0x10FFFF excluding surrogates — DuckDB's chr() errors on
+# NUL/surrogates and Java's UTF-8 decoder would smuggle U+FFFD in);
+# anything else stays literal text.  Two documented single-pass
+# divergences from a browser, both engine-consistent: a ref whose
+# replacement CREATES another listed ref decodes twice (`&#38;#66;`
+# alongside `&#66;`), and refs are replaced corpus-order-independently
+# (sorted set, not left-to-right scan).
+_CP_MIN, _CP_MAX = 1, 0x10FFFF
+_SUR_LO, _SUR_HI = 0xD800, 0xDFFF
 
 # Whitespace normalization: collapse blanks, tighten newlines, trim.
 # `\n` is spelled as a pattern escape (identical in Java/`re`/RE2) but
@@ -101,6 +122,63 @@ def ws_normalize_expr(col: Column) -> Column:
     return F.btrim(out, F.lit(TRIM_CHARS))
 
 
+def decode_numrefs_expr(col: Column) -> Column:
+    """Decode numeric character references (expression form): sorted
+    fold over the row's distinct refs; the codepoint's UTF-8 bytes are
+    built arithmetically (`unhex` + `decode`) because Spark's `chr()`
+    is ASCII-mod-256, not Unicode.  Refs per row are few, so the
+    interpreted-HOF fold cost is the same class as pii.py's."""
+
+    def _decode_one(acc: Column, r: Column) -> Column:
+        is_hex = F.lower(F.substring(r, 3, 1)) == "x"
+        digits = F.regexp_replace(r, "[&#xX;]", "")
+        cp = (
+            F.when(is_hex, F.conv(digits, 16, 10).cast("long"))
+            .otherwise(digits.cast("long"))
+        )
+        valid = (
+            (cp >= _CP_MIN)
+            & (cp <= _CP_MAX)
+            & ((cp < _SUR_LO) | (cp > _SUR_HI))
+        )
+        hexstr = (
+            F.when(cp < 0x80, F.format_string("%02X", cp))
+            .when(
+                cp < 0x800,
+                F.format_string(
+                    "%02X%02X",
+                    F.shiftright(cp, 6) + 192,
+                    cp % 64 + 128,
+                ),
+            )
+            .when(
+                cp < 0x10000,
+                F.format_string(
+                    "%02X%02X%02X",
+                    F.shiftright(cp, 12) + 224,
+                    F.shiftright(cp, 6) % 64 + 128,
+                    cp % 64 + 128,
+                ),
+            )
+            .otherwise(
+                F.format_string(
+                    "%02X%02X%02X%02X",
+                    F.shiftright(cp, 18) + 240,
+                    F.shiftright(cp, 12) % 64 + 128,
+                    F.shiftright(cp, 6) % 64 + 128,
+                    cp % 64 + 128,
+                )
+            )
+        )
+        ch = F.decode(F.unhex(hexstr), "UTF-8")
+        return F.replace(acc, r, F.when(valid, ch).otherwise(r))
+
+    refs = F.array_sort(
+        F.array_distinct(F.regexp_extract_all(col, F.lit(NUMREF_RX), 0))
+    )
+    return F.aggregate(refs, col, _decode_one)
+
+
 def extract_text_expr(col: Column) -> Column:
     """Extract main text from HTML markup — pure Catalyst expression
     cascade (the 100 TB hot path: rides the scan, no Python)."""
@@ -111,8 +189,10 @@ def extract_text_expr(col: Column) -> Column:
     out = F.regexp_replace(out, COMMENT_RX, "")
     out = F.regexp_replace(out, BLOCK_TAG_RX, "\n")
     out = F.regexp_replace(out, ANY_TAG_RX, "")
-    for ent, ch in ENTITIES:
+    for ent, ch in ENTITIES[:-1]:
         out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = decode_numrefs_expr(out)
+    out = F.replace(out, F.lit(ENTITIES[-1][0]), F.lit(ENTITIES[-1][1]))
     return ws_normalize_expr(out)
 
 
@@ -143,6 +223,20 @@ def ws_normalize_str(s: str) -> str:
     return s.strip(TRIM_CHARS)
 
 
+_PY_NUMREF = re.compile(NUMREF_RX)
+
+
+def decode_numrefs_str(s: str) -> str:
+    """Python twin of :func:`decode_numrefs_expr` (same sorted fold,
+    same scalar-value guard)."""
+    for r in sorted(set(_PY_NUMREF.findall(s))):
+        body = r[2:-1]
+        cp = int(body[1:], 16) if body[0] in "xX" else int(body)
+        if _CP_MIN <= cp <= _CP_MAX and not (_SUR_LO <= cp <= _SUR_HI):
+            s = s.replace(r, chr(cp))
+    return s
+
+
 def extract_text_str(s: str | None) -> str | None:
     """Per-row extraction contract (identical output to
     :func:`extract_text_expr`, byte for byte)."""
@@ -154,8 +248,10 @@ def extract_text_str(s: str | None) -> str | None:
     s = _PY_COMMENT.sub("", s)
     s = _PY_BLOCK.sub("\n", s)
     s = _PY_ANY.sub("", s)
-    for ent, ch in ENTITIES:
+    for ent, ch in ENTITIES[:-1]:
         s = s.replace(ent, ch)
+    s = decode_numrefs_str(s)
+    s = s.replace(ENTITIES[-1][0], ENTITIES[-1][1])
     return ws_normalize_str(s)
 
 
@@ -172,6 +268,31 @@ def _sql_str(s: str) -> str:
     return joined if joined else "''"
 
 
+def decode_numrefs_sql(expr: str) -> str:
+    """DuckDB twin of :func:`decode_numrefs_expr` — same sorted fold via
+    list_reduce/list_prepend (the pii.py device); the codepoint comes
+    from DuckDB's native hex-literal cast and decodes with its Unicode
+    `chr()`."""
+    digits = "regexp_replace(x, '[&#xX;]', '', 'g')"
+    cp = (
+        f"(CASE WHEN lower(substr(x, 3, 1)) = 'x' "
+        f"THEN CAST('0x' || {digits} AS BIGINT) "
+        f"ELSE CAST({digits} AS BIGINT) END)"
+    )
+    valid = (
+        f"({cp} >= {_CP_MIN} AND {cp} <= {_CP_MAX} "
+        f"AND NOT ({cp} >= {_SUR_LO} AND {cp} <= {_SUR_HI}))"
+    )
+    ch = f"(CASE WHEN {valid} THEN chr(CAST({cp} AS INT)) ELSE x END)"
+    refs = (
+        f"list_sort(list_distinct(regexp_extract_all({expr}, '{NUMREF_RX}', 0)))"
+    )
+    return (
+        f"list_reduce(list_prepend({expr}, {refs}), "
+        f"(acc, x) -> replace(acc, x, {ch}))"
+    )
+
+
 def extract_text_sql(expr: str) -> str:
     """The same cascade as :func:`extract_text_expr`, as a DuckDB SQL
     expression over `expr` (RE2 'g' flag = Java's replace-all default)."""
@@ -182,8 +303,12 @@ def extract_text_sql(expr: str) -> str:
     out = f"regexp_replace({out}, {_sql_str(COMMENT_RX)}, '', 'g')"
     out = f"regexp_replace({out}, {_sql_str(BLOCK_TAG_RX)}, chr(10), 'g')"
     out = f"regexp_replace({out}, {_sql_str(ANY_TAG_RX)}, '', 'g')"
-    for ent, ch in ENTITIES:
+    for ent, ch in ENTITIES[:-1]:
         out = f"replace({out}, {_sql_str(ent)}, {_sql_str(ch)})"
+    out = decode_numrefs_sql(out)
+    out = (
+        f"replace({out}, {_sql_str(ENTITIES[-1][0])}, {_sql_str(ENTITIES[-1][1])})"
+    )
     return ws_normalize_sql(out)
 
 

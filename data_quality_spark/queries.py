@@ -3440,6 +3440,9 @@ def _html_extract_oracle_sql() -> str:
         " || '<body><nav><a href=\"/\">Home</a> | <a href=\"/c/'"
         " || CAST(doc_id % 5 AS VARCHAR) || '\">Cat</a></nav>'"
         " || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'"
+        " || '<p>quote &#8216;q' || CAST(doc_id % 10 AS VARCHAR)"
+        " || '&#8217; dash &#x2014; amp &amp;#8212;"
+        " sur &#xD800; nul &#0; big &#1114112;</p>'"
         " || '<p>' || replace(" + escape_text_sql("coalesce(text, '')")
         + ", chr(10), '</p><p>') || '</p>'"
         " || '<!-- build ' || CAST(doc_id % 7 AS VARCHAR) || ' -->'"
@@ -3447,7 +3450,10 @@ def _html_extract_oracle_sql() -> str:
         " || '.com &nbsp;All rights reserved</footer></body></html>'"
     )
     expected = ws_normalize_sql(
-        "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || coalesce(text, '')"
+        "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)"
+        " || 'quote ‘q' || CAST(doc_id % 10 AS VARCHAR)"
+        " || '’ dash — amp &#8212; sur &#xD800; nul &#0; big &#1114112;'"
+        " || chr(10) || coalesce(text, '')"
     )
     return f"""
     WITH ex AS (
@@ -3501,6 +3507,14 @@ def html_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<body><nav><a href="/">Home</a> | <a href="/c/'), s(i % 5),
         F.lit('">Cat</a></nav>'),
         F.lit("<h1>Doc "), s(i), F.lit("</h1>"),
+        # numeric-character-reference paragraph: decimal + hex forms
+        # decode; the double-escaped, surrogate, NUL, and out-of-range
+        # refs must all survive as literal text (htmltext.NUMREF_RX)
+        F.lit("<p>quote &#8216;q"), s(i % 10),
+        F.lit(
+            "&#8217; dash &#x2014; amp &amp;#8212;"
+            " sur &#xD800; nul &#0; big &#1114112;</p>"
+        ),
         paras,
         F.lit("<!-- build "), s(i % 7), F.lit(" -->"),
         F.lit("<footer>&copy; 2026 site"), s(i % 7),
@@ -3508,7 +3522,16 @@ def html_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     extracted = extract_text_expr(html)
     expected = ws_normalize_expr(
-        F.concat(F.lit("Doc "), s(i), F.lit("\n"), F.coalesce(F.col("text"), F.lit("")))
+        F.concat(
+            F.lit("Doc "), s(i), F.lit("\n"),
+            F.lit("quote ‘q"), s(i % 10),
+            F.lit(
+                "’ dash — amp &#8212;"
+                " sur &#xD800; nul &#0; big &#1114112;"
+            ),
+            F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
     )
     return docs.select(
         i.cast("bigint").alias("doc_id"),

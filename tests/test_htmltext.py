@@ -103,3 +103,50 @@ def test_doctype_and_cdata_dropped():
     assert (
         extract_text_str("<p>a</p><![CDATA[ raw <junk> ]]><p>b</p>") == "a\nb"
     )
+
+
+def test_numeric_entity_decode():
+    # decimal + hex (either case marker, leading zeros) decode
+    assert extract_text_str("<p>&#8216;q&#8217; &#x2014; &#X2019; &#039;</p>") == "‘q’ — ’ '"
+    # invalid refs stay literal: NUL, surrogate, out-of-range, malformed
+    assert extract_text_str("<p>&#0; &#xD800; &#1114112; &#x; &#xG1;</p>") == (
+        "&#0; &#xD800; &#1114112; &#x; &#xG1;"
+    )
+    # double-escaped ref: &amp; decodes LAST, so the ref survives as text
+    assert extract_text_str("<p>&amp;#8212;</p>") == "&#8212;"
+    # documented single-pass divergence: a decode that CREATES another
+    # listed ref decodes it too (engine-consistent sorted fold)
+    assert extract_text_str("<p>&#38;#66; &#66;</p>") == "B B"
+    # supplementary plane (4-byte UTF-8 path)
+    assert extract_text_str("<p>&#128512;</p>") == "\U0001F600"
+
+
+def test_numeric_entity_expr_twin(spark):
+    cases = [
+        "<p>&#8216;q&#8217; &#x2014; &#X2019; &#039;</p>",
+        "<p>&#0; &#xD800; &#1114112; &#x; &#xG1;</p>",
+        "<p>&amp;#8212;</p>",
+        "<p>&#38;#66; &#66;</p>",
+        "<p>&#128512; &#65;</p>",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["html"])
+    got = [r["t"] for r in df.select(extract_text_expr(F.col("html")).alias("t")).collect()]
+    assert got == [extract_text_str(c) for c in cases]
+
+
+def test_numeric_entity_duckdb_twin():
+    import duckdb
+
+    from data_quality_spark.operators.htmltext import extract_text_sql
+
+    cases = [
+        "<p>&#8216;q&#8217; &#x2014; &#X2019; &#039;</p>",
+        "<p>&#0; &#xD800; &#1114112; &#x; &#xG1;</p>",
+        "<p>&amp;#8212;</p>",
+        "<p>&#38;#66; &#66;</p>",
+        "<p>&#128512; &#65;</p>",
+    ]
+    for c in cases:
+        lit = "'" + c.replace("'", "''") + "'"
+        got = duckdb.sql(f"SELECT {extract_text_sql(lit)} AS t").fetchone()[0]
+        assert got == extract_text_str(c), c
