@@ -145,6 +145,14 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("yyyy-MM-dd'T'HH:mm:ssXXX", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}{_OFFC}$"),
     ("yyyy-DDDXXX", rf"^{_Y4}-[0-9]{{1,3}}{_OFFC}$"),
     ("YYYY-'W'w-c", rf"^{_Y4}-W(?:[1-4]?[0-9]|5[0-2])-[1-7]$"),
+    # ISO/dash time breadth, second batch (Groups 18/29/34)
+    ("yyyy-MM-dd h:mm:ss a", rf"^{_Y4}-{_MM}-{_DD} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("yyyy-M-d HH:mm:ss", rf"^{_Y4}-{_M}-{_D} {_HMS}$"),
+    ("yyyy-M-d H:mm", rf"^{_Y4}-{_M}-{_D} {_H1M}$"),
+    ("yyyy-MM-dd HH.mm.ss", rf"^{_Y4}-{_MM}-{_DD} (?:[0-1][0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]$"),
+    ("yyyy-MM-dd'T'HH:mm:ss,SSS", rf"^{_Y4}-{_MM}-{_DD}T{_HMS},{_MS3}$"),
+    ("yyyy-MM-dd'T'HH:mm:ssZ", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}{_OFF}$"),
+    ("yyyy-MM-dd HH:mm:ssZ", rf"^{_Y4}-{_MM}-{_DD} {_HMS}{_OFF}$"),
     # slash family
     ("M/d/yyyy", rf"^{_M}/{_D}/{_Y4}$"),
     ("MM/dd/yyyy", rf"^{_MM}/{_DD}/{_Y4}$"),
@@ -167,6 +175,25 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("MM/dd/yyyy HH:mm", rf"^{_MM}/{_DD}/{_Y4} {_HM}$"),
     ("M/d/yyyy h:mm a", rf"^{_M}/{_D}/{_Y4} {_H12M} (?:AM|PM)$"),
     ("yyyy/MM/dd HH:mm:ss", rf"^{_Y4}/{_MM}/{_DD} {_HMS}$"),
+    # slash time breadth, second batch (Groups 10/19/24/27)
+    ("dd/MM/yyyy h:mm:ss a", rf"^{_DD}/{_MM}/{_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("MM/dd/yyyy h:mm:ss a", rf"^{_MM}/{_DD}/{_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("M/d/yyyy h:mm:ss a", rf"^{_M}/{_D}/{_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("dd/MM/yyyy h:mm a", rf"^{_DD}/{_MM}/{_Y4} {_H12M} (?:AM|PM)$"),
+    ("yyyy/MM/dd H:mm", rf"^{_Y4}/{_MM}/{_DD} {_H1M}$"),
+    ("yyyy/MM/dd H:mm:ss", rf"^{_Y4}/{_MM}/{_DD} {_H1MS}$"),
+    ("M/d/yy h:mm a", rf"^{_M}/{_D}/{_Y2} {_H12M} (?:AM|PM)$"),
+    ("MM/dd/yy HH:mm", rf"^{_MM}/{_DD}/{_Y2} {_HM}$"),
+    ("dd/MM/yy HH:mm", rf"^{_DD}/{_MM}/{_Y2} {_HM}$"),
+    ("M/d/yy HH:mm", rf"^{_M}/{_D}/{_Y2} {_HM}$"),
+    ("M/d/yy H:mm", rf"^{_M}/{_D}/{_Y2} {_H1M}$"),
+    ("MM/dd/yy HH:mm:ss", rf"^{_MM}/{_DD}/{_Y2} {_HMS}$"),
+    ("dd/MM/yy HH:mm:ss", rf"^{_DD}/{_MM}/{_Y2} {_HMS}$"),
+    ("M/d/yy H:mm:ss", rf"^{_M}/{_D}/{_Y2} {_H1MS}$"),
+    ("dd/MM/yy H.mm", rf"^{_DD}/{_MM}/{_Y2} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
+    ("yy/MM/dd HH:mm", rf"^{_Y2}/{_MM}/{_DD} {_HM}$"),
+    ("yy/MM/dd H:mm", rf"^{_Y2}/{_MM}/{_DD} {_H1M}$"),
+    ("yy/MM/dd H:mm:ss", rf"^{_Y2}/{_MM}/{_DD} {_H1MS}$"),
     # dash family
     ("dd-MM-yyyy", rf"^{_DD}-{_MM}-{_Y4}$"),
     ("M-d-yyyy", rf"^{_M}-{_D}-{_Y4}$"),
@@ -178,6 +205,20 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("dd-MM-yy", rf"^{_DD}-{_MM}-{_Y2}$"),
     ("MM-dd-yyyy HH:mm:ss", rf"^{_MM}-{_DD}-{_Y4} {_HMS}$"),
     ("dd-MM-yyyy HH:mm:ss", rf"^{_DD}-{_MM}-{_Y4} {_HMS}$"),
+    # dash time breadth, second batch (Groups 13/28/29)
+    ("MM-dd-yyyy HH:mm", rf"^{_MM}-{_DD}-{_Y4} {_HM}$"),
+    ("MM-dd-yyyy h:mm a", rf"^{_MM}-{_DD}-{_Y4} {_H12M} (?:AM|PM)$"),
+    ("MM-dd-yyyy h:mm:ss a", rf"^{_MM}-{_DD}-{_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("M-d-yyyy HH:mm:ss", rf"^{_M}-{_D}-{_Y4} {_HMS}$"),
+    ("M-d-yyyy H:mm", rf"^{_M}-{_D}-{_Y4} {_H1M}$"),
+    ("dd-MM-yyyy H:mm", rf"^{_DD}-{_MM}-{_Y4} {_H1M}$"),
+    ("yy-MM-dd HH:mm", rf"^{_Y2}-{_MM}-{_DD} {_HM}$"),
+    ("MM-dd-yy HH:mm", rf"^{_MM}-{_DD}-{_Y2} {_HM}$"),
+    ("MM-dd-yy h:mm a", rf"^{_MM}-{_DD}-{_Y2} {_H12M} (?:AM|PM)$"),
+    ("MM-dd-yy HH:mm:ss", rf"^{_MM}-{_DD}-{_Y2} {_HMS}$"),
+    ("M-d-yy HH:mm", rf"^{_M}-{_D}-{_Y2} {_HM}$"),
+    ("M-d-yy H:mm:ss", rf"^{_M}-{_D}-{_Y2} {_H1MS}$"),
+    ("dd-MM-yy HH:mm", rf"^{_DD}-{_MM}-{_Y2} {_HM}$"),
     # dot family (reference Groups 2/5)
     ("dd.MM.yyyy", rf"^{_DD}\.{_MM}\.{_Y4}$"),
     ("d.M.yyyy", rf"^{_D}\.{_M}\.{_Y4}$"),
@@ -191,6 +232,19 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("dd.MM.yyyy HH:mm", rf"^{_DD}\.{_MM}\.{_Y4} {_HM}$"),
     ("d.M.yyyy H:mm", rf"^{_D}\.{_M}\.{_Y4} {_H1M}$"),
     ("yyyy.MM.dd HH:mm:ss", rf"^{_Y4}\.{_MM}\.{_DD} {_HMS}$"),
+    # dot time breadth, second batch (Groups 11/15/25/26/37/39)
+    ("dd.MM.yyyy H:mm:ss", rf"^{_DD}\.{_MM}\.{_Y4} {_H1MS}$"),
+    ("d.M.yyyy HH:mm:ss", rf"^{_D}\.{_M}\.{_Y4} {_HMS}$"),
+    ("d.M.yyyy H:mm:ss", rf"^{_D}\.{_M}\.{_Y4} {_H1MS}$"),
+    ("d.M.yyyy H.mm.ss", rf"^{_D}\.{_M}\.{_Y4} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]$"),
+    ("d.MM.yyyy H:mm:ss", rf"^{_D}\.{_MM}\.{_Y4} {_H1MS}$"),
+    ("yyyy.MM.dd HH:mm", rf"^{_Y4}\.{_MM}\.{_DD} {_HM}$"),
+    ("dd.MM.yy HH:mm", rf"^{_DD}\.{_MM}\.{_Y2} {_HM}$"),
+    ("dd.MM.yy H:mm", rf"^{_DD}\.{_MM}\.{_Y2} {_H1M}$"),
+    ("d.M.yy HH:mm", rf"^{_D}\.{_M}\.{_Y2} {_HM}$"),
+    ("d.M.yy H:mm", rf"^{_D}\.{_M}\.{_Y2} {_H1M}$"),
+    ("dd.MM.yy HH:mm:ss", rf"^{_DD}\.{_MM}\.{_Y2} {_HMS}$"),
+    ("d.M.yy H.mm", rf"^{_D}\.{_M}\.{_Y2} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
     # compact (reference Group 9)
     ("yyyyMMdd", rf"^{_Y4}{_MM}{_DD}$"),
     ("yyyyMMddZ", rf"^{_Y4}{_MM}{_DD}{_OFF}$"),
@@ -219,6 +273,9 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     # day-name datetime shapes in crawled web data
     ("EEE, d MMM yyyy HH:mm:ss Z", rf"^{_DAY3}, {_D} {_MON} {_Y4} {_HMS} {_OFF}$"),
     ("EEE MMM dd HH:mm:ss z yyyy", rf"^{_DAY3} {_MON} {_DD} {_HMS} {_TZ} {_Y4}$"),
+    ("d MMM yyyy HH:mm:ss Z", rf"^{_D} {_MON} {_Y4} {_HMS} {_OFF}$"),
+    ("d MMM yyyy HH:mm:ss z", rf"^{_D} {_MON} {_Y4} {_HMS} {_TZ}$"),
+    ("d-MMM-yyyy h:mm:ss a", rf"^{_D}-{_MON}-{_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
     # time-led date forms (reference Groups 10/18)
     ("HH:mm dd/MM/yyyy", rf"^{_HM} {_DD}/{_MM}/{_Y4}$"),
     ("HH:mm:ss dd-MM-yyyy", rf"^{_HMS} {_DD}-{_MM}-{_Y4}$"),
@@ -274,22 +331,45 @@ DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
          "yyyy-M-d", "yyyy-MM-dd HH:mm", "yyyy-MM-dd H:mm:ss",
          "yyyy-MM-dd h:mm a", "yyyy-MM-dd HH:mm:ss,SSS", "yyyy-MM-dd HH:mm:ssXXX",
          "yyyy-MM-ddXXX", "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
-         "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-DDDXXX", "YYYY-'W'w-c"),
-    _grp(r"^[0-9]{4}/", "yyyy/MM/dd", "yyyy/M/d", "yyyy/MM/dd HH:mm:ss"),
+         "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-DDDXXX", "YYYY-'W'w-c",
+         "yyyy-MM-dd h:mm:ss a", "yyyy-M-d HH:mm:ss", "yyyy-M-d H:mm",
+         "yyyy-MM-dd HH.mm.ss", "yyyy-MM-dd'T'HH:mm:ss,SSS",
+         "yyyy-MM-dd'T'HH:mm:ssZ", "yyyy-MM-dd HH:mm:ssZ"),
+    _grp(r"^[0-9]{4}/", "yyyy/MM/dd", "yyyy/M/d", "yyyy/MM/dd HH:mm:ss",
+         "yyyy/MM/dd H:mm", "yyyy/MM/dd H:mm:ss"),
     _grp(r"^[0-9]{1,2}/", "M/d/yyyy", "MM/dd/yyyy", "d/M/yyyy", "dd/MM/yyyy",
          "M/d/yyyy H:mm", "M/d/yy", "MM/dd/yy", "dd/MM/yy", "d/MM/yy",
          "yy/MM/dd", "dd/MM/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
          "d/M/yyyy H:mm:ss", "dd/MM/yyyy HH:mm", "MM/dd/yyyy HH:mm",
-         "M/d/yyyy h:mm a"),
+         "M/d/yyyy h:mm a",
+         "dd/MM/yyyy h:mm:ss a", "MM/dd/yyyy h:mm:ss a", "M/d/yyyy h:mm:ss a",
+         "dd/MM/yyyy h:mm a", "M/d/yy h:mm a", "MM/dd/yy HH:mm",
+         "dd/MM/yy HH:mm", "M/d/yy HH:mm", "M/d/yy H:mm",
+         "MM/dd/yy HH:mm:ss", "dd/MM/yy HH:mm:ss", "M/d/yy H:mm:ss",
+         "dd/MM/yy H.mm", "yy/MM/dd HH:mm", "yy/MM/dd H:mm",
+         "yy/MM/dd H:mm:ss"),
     _grp(r"^[0-9]{1,2}-[0-9]", "dd-MM-yyyy", "M-d-yyyy", "yy-MM-dd", "MM-dd-yy", "d-M-yy",
-         "MM-dd-yyyy", "dd-MM-yy", "MM-dd-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm:ss"),
+         "MM-dd-yyyy", "dd-MM-yy", "MM-dd-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm:ss",
+         "MM-dd-yyyy HH:mm", "MM-dd-yyyy h:mm a", "MM-dd-yyyy h:mm:ss a",
+         "M-d-yyyy HH:mm:ss", "M-d-yyyy H:mm", "dd-MM-yyyy H:mm",
+         "yy-MM-dd HH:mm", "MM-dd-yy HH:mm", "MM-dd-yy h:mm a",
+         "MM-dd-yy HH:mm:ss", "M-d-yy HH:mm", "M-d-yy H:mm:ss",
+         "dd-MM-yy HH:mm"),
     _grp(r"^[0-9]{1,2}-[A-Za-z]", "d-MMM-yyyy", "dd-MMM-yy",
-         "dd-MMM-yyyy", "dd-MMM-yyyy HH:mm:ss"),
-    _grp(r"^[0-9]{4}\.", "yyyy.MM.dd", "yyyy.MM.dd HH:mm:ss"),
-    _grp(r"^[0-9]{1,2}\.", "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy", "H.mm",
-         "d. MMMM yyyy (de)",
+         "dd-MMM-yyyy", "dd-MMM-yyyy HH:mm:ss", "d-MMM-yyyy h:mm:ss a"),
+    _grp(r"^[0-9]{4}\.", "yyyy.MM.dd", "yyyy.MM.dd HH:mm:ss", "yyyy.MM.dd HH:mm"),
+    # in-group order == the flat DATE_REGEXES+TIME_REGEXES order
+    # restricted to this gate (tests/test_typeinfer.py asserts this for
+    # every group — it is what makes the dispatch provably identical to
+    # the oracle's flat scan without any shape-disjointness argument)
+    _grp(r"^[0-9]{1,2}\.", "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy",
          "d.MM.yyyy", "yy.M.d", "dd.MM.yyyy HH:mm:ss", "dd.MM.yyyy HH:mm",
-         "d.M.yyyy H:mm", "H.mm.ss"),
+         "d.M.yyyy H:mm",
+         "dd.MM.yyyy H:mm:ss", "d.M.yyyy HH:mm:ss", "d.M.yyyy H:mm:ss",
+         "d.M.yyyy H.mm.ss", "d.MM.yyyy H:mm:ss", "dd.MM.yy HH:mm",
+         "dd.MM.yy H:mm", "d.M.yy HH:mm", "d.M.yy H:mm",
+         "dd.MM.yy HH:mm:ss", "d.M.yy H.mm",
+         "d. MMMM yyyy (de)", "H.mm", "H.mm.ss"),
     _grp(r"^[0-9]{8}$", "yyyyMMdd"),
     _grp(r"^[0-9]{8}[+-]", "yyyyMMddZ"),
     _grp(r"^[0-9]{4}年", "yyyy'年'M'月'd'日'"),
@@ -301,6 +381,7 @@ DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
     # [A-Za-zÀ-ÿ]: French/Spanish months may open with an accented letter (août)
     _grp(r"^[0-9]{1,2} [A-Za-zÀ-ÿ]", "d MMM yyyy", "d MMMM yyyy",
          "dd MMMM yyyy", "d MMM yyyy HH:mm:ss",
+         "d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss z",
          "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)",
          "d MMMM yyyy (it)", "d 'de' MMMM 'de' yyyy (pt)", "d MMMM yyyy (nl)"),
     # date-led entries first: mirrors the flat cascade (DATE_REGEXES

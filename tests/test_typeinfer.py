@@ -169,3 +169,30 @@ def test_is_date_is_time_combined(spark):
     assert got["12:30:05"] == (False, True)
     assert got["hello"] == (False, False)
     assert got["123"] == (False, False)
+
+
+def test_datetime_dispatch_mirrors_flat_cascade():
+    """The gate-dispatch's in-group order must equal the flat
+    DATE_REGEXES+TIME_REGEXES order restricted to that group, every
+    format must sit in exactly one group, and gates must be pairwise
+    exclusive on each other's sample prefixes — together these make the
+    dispatched recognizer provably identical to the DuckDB oracle's
+    flat first-match scan (round-5 invariant; the round-4 version
+    relied on a per-case shape-disjointness argument instead)."""
+    import re
+
+    from data_quality_spark.functions import typeinfer as ti
+
+    flat = [f for f, _ in ti.DATE_REGEXES + ti.TIME_REGEXES]
+    assert len(flat) == len(set(flat))
+    grouped = [f for _, fam in ti.DATETIME_GROUPS for f, _ in fam]
+    assert sorted(grouped) == sorted(set(grouped)), "format in two groups"
+    assert set(grouped) == set(flat), "group coverage != flat table"
+    for gate, fam in ti.DATETIME_GROUPS:
+        fnames = [f for f, _ in fam]
+        want = [f for f in flat if f in set(fnames)]
+        assert fnames == want, f"in-group order diverges from flat order in {gate}"
+    # regexes compile in `re` (RE2-compatible subset is asserted by the
+    # DuckDB parity fixture; `re` compile catches syntax-level slips)
+    for _, rx in ti.DATE_REGEXES + ti.TIME_REGEXES:
+        re.compile(rx)
