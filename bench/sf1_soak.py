@@ -24,8 +24,11 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = "/tmp/dqs_sf1"
 SOAK_QUERIES = [
@@ -102,7 +105,12 @@ def main() -> None:
     from data_quality_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    spark = get_spark(app_name="dqs-sf1-soak", master="local[32]")
+    # the soak needs the status REST API for the per-stage spill counters
+    spark = get_spark(
+        app_name="dqs-sf1-soak",
+        master="local[32]",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4040"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
 
