@@ -42,10 +42,22 @@ SOAK_QUERIES = [
 ]
 
 
+def _synth_fingerprint() -> str:
+    """Hash of this function's own synthesis spec: editing synth_sf1
+    invalidates any cached corpus instead of silently reusing a stale
+    one when recording BASELINE numbers (review finding, round 5)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(synth_sf1)
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
+
+
 def synth_sf1(spark) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(OUT_DIR, "_SYNTH_OK")):
+    marker = os.path.join(OUT_DIR, f"_SYNTH_OK_{_synth_fingerprint()}")
+    if os.path.exists(marker):
         return
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -87,12 +99,16 @@ def synth_sf1(spark) -> None:
             shutil.copytree(src, dst)
         else:
             shutil.copy(src, dst)
-    open(os.path.join(OUT_DIR, "_SYNTH_OK"), "w").close()
+    open(marker, "w").close()
 
 
-def stage_stats(app_id: str, port: int = 4040) -> tuple[int, int, int]:
-    """(n_stages, memoryBytesSpilled, diskBytesSpilled) across all stages."""
-    url = f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
+def stage_stats(ui_url: str, app_id: str) -> tuple[int, int, int]:
+    """(n_stages, memoryBytesSpilled, diskBytesSpilled) across all stages.
+
+    `ui_url` comes from `spark.sparkContext.uiWebUrl` — never a hardcoded
+    port: Spark auto-increments past 4040 when it's busy, and a fixed
+    port would read a FOREIGN app's stages (review finding, round 5)."""
+    url = f"{ui_url}/api/v1/applications/{app_id}/stages"
     with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.load(r)
     mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
@@ -113,6 +129,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
+    ui_url = spark.sparkContext.uiWebUrl
 
     def force(df):
         cols = [F.col(c).cast("string") for c in df.columns]
@@ -129,11 +146,11 @@ def main() -> None:
 
     rows = []
     for name in SOAK_QUERIES:
-        s0, m0, d0 = stage_stats(app_id)
+        s0, m0, d0 = stage_stats(ui_url, app_id)
         t0 = time.perf_counter()
         n = force(QUERIES[name](spark, OUT_DIR))
         wall = time.perf_counter() - t0
-        s1, m1, d1 = stage_stats(app_id)
+        s1, m1, d1 = stage_stats(ui_url, app_id)
         spark.catalog.clearCache()
         rows.append((name, round(wall, 2), n, s1 - s0, m1 - m0, d1 - d0))
         print(rows[-1])

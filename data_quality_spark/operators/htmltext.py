@@ -285,7 +285,8 @@ def decode_numrefs_sql(expr: str) -> str:
     )
     ch = f"(CASE WHEN {valid} THEN chr(CAST({cp} AS INT)) ELSE x END)"
     refs = (
-        f"list_sort(list_distinct(regexp_extract_all({expr}, '{NUMREF_RX}', 0)))"
+        f"list_sort(list_distinct(regexp_extract_all({expr}, "
+        f"{_sql_str(NUMREF_RX)}, 0)))"
     )
     return (
         f"list_reduce(list_prepend({expr}, {refs}), "

@@ -38,13 +38,13 @@ URL_RX = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$
 TRACKING_PARAM_RX = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
 
 # Multi-label public suffixes for the registered-domain heuristic: the
-# generated ICANN-family snapshot (scripts/gen_public_suffix.py — 1602
+# generated ICANN-family snapshot (scripts/gen_public_suffix.py — 1609
 # two-label + 169 three-label rules; regenerate from a canonical
 # public_suffix_list.dat where one is available).  Same generated-table
 # device as the NANPA table in functions/phone_metadata.py.
 #
 # Lookup device: one comma-delimited literal string per rule set,
-# probed with `contains(big, ',' || candidate || ',')`.  A 1602-literal
+# probed with `contains(big, ',' || candidate || ',')`.  A 1609-literal
 # array/IN-list would trip the 64 KB-codegen and JVM-deserialization
 # traps documented in CLAUDE.md; a single ~16 KB string literal with a
 # substring probe stays codegen'd, and hostname labels cannot contain

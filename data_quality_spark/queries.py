@@ -2295,7 +2295,8 @@ def _datetime_oracle_sql() -> str:
         ELSE {hms}
       END AS ds FROM orders
     )
-    SELECT CASE {arms} END AS pattern, CAST(count(*) AS BIGINT) AS cnt
+    SELECT COALESCE(CASE {arms} END, '(unrecognized)') AS pattern,
+      CAST(count(*) AS BIGINT) AS cnt
     FROM d GROUP BY 1
     """
 
@@ -2362,8 +2363,14 @@ def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       ELSE {hms}
     END"""
     mixed = o.select(F.expr(ds_sql).alias("ds"))
+    # sentinel over the post-agg key: the fixture recognizes every arm
+    # today, but a future unrecognized value must surface as a SENTINEL
+    # row, never a NULL in a contract output (round-3 rule — the
+    # driver's row-sort compare throws on mixed None/typed); the
+    # coalesce runs on ~|patterns| aggregated rows, not the corpus
     return datetime_pattern_frequency(mixed, "ds").select(
-        "pattern", F.col("cnt").cast("long").alias("cnt")
+        F.coalesce(F.col("pattern"), F.lit("(unrecognized)")).alias("pattern"),
+        F.col("cnt").cast("long").alias("cnt"),
     )
 
 
