@@ -293,19 +293,82 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("d MMMM yyyy (nl)", rf"^{_D} {_MON_NL} {_Y4}$"),
 )
 
+# CJK 12-hour markers (the reference's `a` field under zh locales is
+# 上午/下午; explicit literals keep the Java∩RE2 common subset)
+_AMPM_ZH = r"(?:上午|下午)"
+_H12 = r"(?:[1-9]|1[0-2])"
+_HH12 = r"(?:0[1-9]|1[0-2])"
+_HMSD = r"(?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]"    # H.mm.ss
+_HHMSD = r"(?:0[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]"  # HH.mm.ss
+_HMD = r"(?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]"                 # H.mm
+_HHMD = r"(?:0[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]"               # HH.mm
+_OFFX = r"[+-](?:0[0-9]|1[0-9]|2[0-3])"                       # X (+05)
+
 TIME_REGEXES: tuple[tuple[str, str], ...] = (
     ("HH:mm:ss", rf"^{_HMS}$"),
     ("HH:mm", rf"^{_HM}$"),
-    ("H:mm", r"^(?:[0-9]|1[0-9]|2[0-3]):[0-5][0-9]$"),
-    ("h:mm a", r"^(?:[1-9]|1[0-2]):[0-5][0-9] (?:AM|PM)$"),
-    ("h:mm:ss a", r"^(?:[1-9]|1[0-2]):[0-5][0-9]:[0-5][0-9] (?:AM|PM)$"),
-    ("H.mm", r"^(?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
-    ("HH:mm:ss z", rf"^{_HMS} [A-Z]{{2,5}}$"),
+    ("H:mm", rf"^{_H1M}$"),
+    ("h:mm a", rf"^{_H12M} (?:AM|PM)$"),
+    ("h:mm:ss a", rf"^{_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("H.mm", rf"^{_HMD}$"),
+    ("HH:mm:ss z", rf"^{_HMS} {_TZ}$"),
     ("HH:mm:ss.S", rf"^{_HMS}\.[0-9]{{1,3}}$"),
     # H.mm.ss sits AFTER the dot-family dates in the flat cascade, so
     # "10.11.12"-style values keep classifying as d.M.yy (the reference's
     # Group-2-before-time ordering)
-    ("H.mm.ss", r"^(?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]$"),
+    ("H.mm.ss", rf"^{_HMSD}$"),
+    # round-5 third batch — the rest of the reference's TimeRegexes.txt
+    # (47 rows), Java∩RE2 subset with explicit AM/PM / 上午/下午 markers
+    ("H:mm:ss", rf"^{_H1MS}$"),
+    ("h:mm:ss a z", rf"^{_H12M}:[0-5][0-9] (?:AM|PM) {_TZ}$"),
+    ("h:mm:ss z a", rf"^{_H12M}:[0-5][0-9] {_TZ} (?:AM|PM)$"),
+    ("H:mm:ss z", rf"^{_H1MS} {_TZ}$"),
+    ("H.mm.ss z", rf"^{_HMSD} {_TZ}$"),
+    ("HH:mm' Uhr 'z", rf"^{_HM} Uhr {_TZ}$"),
+    ("HH:mm:ss 'o''clock' z", rf"^{_HMS} o'clock {_TZ}$"),
+    ("h:mm:ss 'o''clock' a z", rf"^{_H12M}:[0-5][0-9] o'clock (?:AM|PM) {_TZ}$"),
+    # zone-offset family: X = [+-]HH, Z = [+-]HHMM, XXX = [+-]HH:MM —
+    # mutually exclusive by anchoring; padded (HH) forms precede
+    # unpadded (H) so no entry is shadowed dead
+    ("HH:mmX", rf"^{_HM}{_OFFX}$"),
+    ("H:mmX", rf"^{_H1M}{_OFFX}$"),
+    ("HH.mmX", rf"^{_HHMD}{_OFFX}$"),
+    ("H.mmX", rf"^{_HMD}{_OFFX}$"),
+    ("HH:mm:ssX", rf"^{_HMS}{_OFFX}$"),
+    ("H:mm:ssX", rf"^{_H1MS}{_OFFX}$"),
+    ("HH.mm.ssX", rf"^{_HHMSD}{_OFFX}$"),
+    ("H.mm.ssX", rf"^{_HMSD}{_OFFX}$"),
+    ("HH:mmZ", rf"^{_HM}{_OFF}$"),
+    ("H:mmZ", rf"^{_H1M}{_OFF}$"),
+    ("HH.mmZ", rf"^{_HHMD}{_OFF}$"),
+    ("H.mmZ", rf"^{_HMD}{_OFF}$"),
+    ("HH:mm:ssZ", rf"^{_HMS}{_OFF}$"),
+    ("H:mm:ssZ", rf"^{_H1MS}{_OFF}$"),
+    ("HH.mm.ssZ", rf"^{_HHMSD}{_OFF}$"),
+    ("H.mm.ssZ", rf"^{_HMSD}{_OFF}$"),
+    ("HH:mmXXX", rf"^{_HM}{_OFFC}$"),
+    ("H:mmXXX", rf"^{_H1M}{_OFFC}$"),
+    ("HH.mmXXX", rf"^{_HHMD}{_OFFC}$"),
+    ("H.mmXXX", rf"^{_HMD}{_OFFC}$"),
+    ("HH:mm:ssXXX", rf"^{_HMS}{_OFFC}$"),
+    ("H:mm:ssXXX", rf"^{_H1MS}{_OFFC}$"),
+    ("HH.mm.ssXXX", rf"^{_HHMSD}{_OFFC}$"),
+    ("H.mm.ssXXX", rf"^{_HMSD}{_OFFC}$"),
+    # CJK clock forms (reference TimeRegexes.txt rows 15/21/22 + ah:mm)
+    ("ah:mm", rf"^{_AMPM_ZH}{_H12}:[0-5][0-9]$"),
+    ("ahh'时'mm'分'ss'秒'", rf"^{_AMPM_ZH}{_HH12}时[0-5][0-9]分[0-5][0-9]秒$"),
+    ("ahh'时'mm'分'ss'秒' z", rf"^{_AMPM_ZH}{_HH12}时[0-5][0-9]分[0-5][0-9]秒 {_TZ}$"),
+    ("H'時'mm'分'ss'秒' z", r"^(?:[0-9]|1[0-9]|2[0-3])時[0-5][0-9]分[0-5][0-9]秒 [A-Z]{2,5}$"),
+    # French clock phrasing (reference Groups 22 companions)
+    ("HH' h 'mm z", rf"^(?:0[0-9]|1[0-9]|2[0-3]) h [0-5][0-9] {_TZ}$"),
+    ("H' h 'mm z", rf"^(?:[0-9]|1[0-9]|2[0-3]) h [0-5][0-9] {_TZ}$"),
+)
+
+# Cheap time prefilter shared by the Spark `is_time` and the DuckDB
+# classify twin (queries._sql_classify_full) — keep the two in
+# lock-step by construction.
+TIME_PREFILTER_PATTERN = (
+    r"^([0-9]{1,2}[:.][0-9]{2}|[0-9]{1,2} h [0-5]|[0-9]{1,2}時|上午|下午)"
 )
 
 # one combined alternation per class → a single codegen'd rlike for is_date
@@ -369,7 +432,10 @@ DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
          "d.M.yyyy H.mm.ss", "d.MM.yyyy H:mm:ss", "dd.MM.yy HH:mm",
          "dd.MM.yy H:mm", "d.M.yy HH:mm", "d.M.yy H:mm",
          "dd.MM.yy HH:mm:ss", "d.M.yy H.mm",
-         "d. MMMM yyyy (de)", "H.mm", "H.mm.ss"),
+         "d. MMMM yyyy (de)", "H.mm", "H.mm.ss",
+         "H.mm.ss z", "HH.mmX", "H.mmX", "HH.mm.ssX", "H.mm.ssX",
+         "HH.mmZ", "H.mmZ", "HH.mm.ssZ", "H.mm.ssZ",
+         "HH.mmXXX", "H.mmXXX", "HH.mm.ssXXX", "H.mm.ssXXX"),
     _grp(r"^[0-9]{8}$", "yyyyMMdd"),
     _grp(r"^[0-9]{8}[+-]", "yyyyMMddZ"),
     _grp(r"^[0-9]{4}年", "yyyy'年'M'月'd'日'"),
@@ -383,13 +449,22 @@ DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
          "dd MMMM yyyy", "d MMM yyyy HH:mm:ss",
          "d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss z",
          "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)",
-         "d MMMM yyyy (it)", "d 'de' MMMM 'de' yyyy (pt)", "d MMMM yyyy (nl)"),
+         "d MMMM yyyy (it)", "d 'de' MMMM 'de' yyyy (pt)", "d MMMM yyyy (nl)",
+         "HH' h 'mm z", "H' h 'mm z"),
     # date-led entries first: mirrors the flat cascade (DATE_REGEXES
     # before TIME_REGEXES); no value matches both shapes, but the order
     # keeps the group provably identical to the oracle's flat scan
     _grp(r"^[0-9]{1,2}:", "HH:mm dd/MM/yyyy", "HH:mm:ss dd-MM-yyyy",
          "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
-         "HH:mm:ss z", "HH:mm:ss.S"),
+         "HH:mm:ss z", "HH:mm:ss.S",
+         "H:mm:ss", "h:mm:ss a z", "h:mm:ss z a", "H:mm:ss z",
+         "HH:mm' Uhr 'z", "HH:mm:ss 'o''clock' z", "h:mm:ss 'o''clock' a z",
+         "HH:mmX", "H:mmX", "HH:mm:ssX", "H:mm:ssX",
+         "HH:mmZ", "H:mmZ", "HH:mm:ssZ", "H:mm:ssZ",
+         "HH:mmXXX", "H:mmXXX", "HH:mm:ssXXX", "H:mm:ssXXX"),
+    _grp(r"^(?:上午|下午)", "ah:mm", "ahh'时'mm'分'ss'秒'",
+         "ahh'时'mm'分'ss'秒' z"),
+    _grp(r"^[0-9]{1,2}時", "H'時'mm'分'ss'秒' z"),
 )
 
 
@@ -420,7 +495,7 @@ def is_date(col: Column) -> Column:
 
 
 def is_time(col: Column) -> Column:
-    return col.rlike(r"^[0-9]{1,2}[:.][0-9]{2}") & col.rlike(TIME_COMBINED_PATTERN)
+    return col.rlike(TIME_PREFILTER_PATTERN) & col.rlike(TIME_COMBINED_PATTERN)
 
 
 def classify(col: Column) -> Column:

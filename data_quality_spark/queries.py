@@ -2981,6 +2981,7 @@ def _sql_classify_full() -> str:
     pref = ti.DATE_PREFILTER_PATTERN
     dc = ti.DATE_COMBINED_PATTERN.replace("'", "''")
     tc = ti.TIME_COMBINED_PATTERN.replace("'", "''")
+    tpref = ti.TIME_PREFILTER_PATTERN.replace("'", "''")
     return f"""
     CASE
       WHEN v IS NULL OR trim(v) = '' THEN 'EMPTY'
@@ -2988,7 +2989,7 @@ def _sql_classify_full() -> str:
       WHEN regexp_matches(v, '{i}') THEN 'INTEGER'
       WHEN regexp_matches(v, '{d}') THEN 'DOUBLE'
       WHEN regexp_matches(v, '{pref}') AND regexp_matches(v, '{dc}') THEN 'DATE'
-      WHEN regexp_matches(v, '^[0-9]{{1,2}}[:.][0-9]{{2}}') AND regexp_matches(v, '{tc}') THEN 'TIME'
+      WHEN regexp_matches(v, '{tpref}') AND regexp_matches(v, '{tc}') THEN 'TIME'
       ELSE 'STRING'
     END
     """
