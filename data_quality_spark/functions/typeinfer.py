@@ -153,6 +153,7 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("yyyy-MM-dd'T'HH:mm:ss,SSS", rf"^{_Y4}-{_MM}-{_DD}T{_HMS},{_MS3}$"),
     ("yyyy-MM-dd'T'HH:mm:ssZ", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}{_OFF}$"),
     ("yyyy-MM-dd HH:mm:ssZ", rf"^{_Y4}-{_MM}-{_DD} {_HMS}{_OFF}$"),
+    ("yyyy-MM-dd G", rf"^{_Y4}-{_MM}-{_DD} (?:AD|BC)$"),
     # slash family
     ("M/d/yyyy", rf"^{_M}/{_D}/{_Y4}$"),
     ("MM/dd/yyyy", rf"^{_MM}/{_DD}/{_Y4}$"),
@@ -191,6 +192,8 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("dd/MM/yy HH:mm:ss", rf"^{_DD}/{_MM}/{_Y2} {_HMS}$"),
     ("M/d/yy H:mm:ss", rf"^{_M}/{_D}/{_Y2} {_H1MS}$"),
     ("dd/MM/yy H.mm", rf"^{_DD}/{_MM}/{_Y2} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
+    ("d/MMM/yyyy H:mm:ss Z", rf"^{_D}/{_MON}/{_Y4} {_H1MS} {_OFF}$"),
+    ("dd/MMM/yy h:mm a", rf"^{_DD}/{_MON}/{_Y2} {_H12M} (?:AM|PM)$"),
     ("yy/MM/dd HH:mm", rf"^{_Y2}/{_MM}/{_DD} {_HM}$"),
     ("yy/MM/dd H:mm", rf"^{_Y2}/{_MM}/{_DD} {_H1M}$"),
     ("yy/MM/dd H:mm:ss", rf"^{_Y2}/{_MM}/{_DD} {_H1MS}$"),
@@ -219,6 +222,7 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("M-d-yy HH:mm", rf"^{_M}-{_D}-{_Y2} {_HM}$"),
     ("M-d-yy H:mm:ss", rf"^{_M}-{_D}-{_Y2} {_H1MS}$"),
     ("dd-MM-yy HH:mm", rf"^{_DD}-{_MM}-{_Y2} {_HM}$"),
+    ("yy-MM-dd h.mm.a", rf"^{_Y2}-{_MM}-{_DD} (?:[1-9]|1[0-2])\.[0-5][0-9]\.(?:AM|PM)$"),
     # dot family (reference Groups 2/5)
     ("dd.MM.yyyy", rf"^{_DD}\.{_MM}\.{_Y4}$"),
     ("d.M.yyyy", rf"^{_D}\.{_M}\.{_Y4}$"),
@@ -232,6 +236,21 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("dd.MM.yyyy HH:mm", rf"^{_DD}\.{_MM}\.{_Y4} {_HM}$"),
     ("d.M.yyyy H:mm", rf"^{_D}\.{_M}\.{_Y4} {_H1M}$"),
     ("yyyy.MM.dd HH:mm:ss", rf"^{_Y4}\.{_MM}\.{_DD} {_HMS}$"),
+    # trailing-dot / spaced-dot forms (reference Groups 2/5/15/26 — hu/hr/ko)
+    ("yyyy.MM.dd.", rf"^{_Y4}\.{_MM}\.{_DD}\.$"),
+    ("yyyy. M. d", rf"^{_Y4}\. {_M}\. {_D}$"),
+    ("yyyy.d.M", rf"^{_Y4}\.{_D}\.{_M}$"),
+    ("yyyy.MM.dd. H:mm:ss", rf"^{_Y4}\.{_MM}\.{_DD}\. {_H1MS}$"),
+    ("yyyy.MM.dd. H:mm", rf"^{_Y4}\.{_MM}\.{_DD}\. {_H1M}$"),
+    ("yyyy.d.M HH:mm:ss", rf"^{_Y4}\.{_D}\.{_M} {_HMS}$"),
+    ("dd.MM.yyyy.", rf"^{_DD}\.{_MM}\.{_Y4}\.$"),
+    ("d.M.yy.", rf"^{_D}\.{_M}\.{_Y2}\.$"),
+    ("yy. M. d", rf"^{_Y2}\. {_M}\. {_D}$"),
+    ("yy.d.M", rf"^{_Y2}\.{_D}\.{_M}$"),
+    ("yy.M.d HH.mm", rf"^{_Y2}\.{_M}\.{_D} (?:0[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
+    ("d.M.yy. HH.mm", rf"^{_D}\.{_M}\.{_Y2}\. (?:0[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]$"),
+    ("dd.MM.yyyy. HH.mm.ss", rf"^{_DD}\.{_MM}\.{_Y4}\. (?:0[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]$"),
+    ("dd.MM.yyyy. HH.mm.ss z", rf"^{_DD}\.{_MM}\.{_Y4}\. (?:0[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9] [A-Z]{{2,5}}$"),
     # dot time breadth, second batch (Groups 11/15/25/26/37/39)
     ("dd.MM.yyyy H:mm:ss", rf"^{_DD}\.{_MM}\.{_Y4} {_H1MS}$"),
     ("d.M.yyyy HH:mm:ss", rf"^{_D}\.{_M}\.{_Y4} {_HMS}$"),
@@ -269,6 +288,10 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("d MMM yyyy HH:mm:ss", rf"^{_D} {_MON} {_Y4} {_HMS}$"),
     ("EEEE, MMMM d, yyyy", rf"^{_DAY}, {_MONTH} {_D}, {_Y4}$"),
     ("EEEE d MMMM yyyy", rf"^{_DAY} {_D} {_MONTH} {_Y4}$"),
+    ("EEEE, d MMMM yyyy", rf"^{_DAY}, {_D} {_MONTH} {_Y4}$"),
+    ("EEEE, d. MMMM yyyy", rf"^{_DAY}, {_D}\. {_MONTH} {_Y4}$"),
+    ("MMMM d, yyyy h:mm:ss a z", rf"^{_MONTH} {_D}, {_Y4} {_H12M}:[0-5][0-9] (?:AM|PM) {_TZ}$"),
+    ("MMMM d, yyyy h:mm:ss z a", rf"^{_MONTH} {_D}, {_Y4} {_H12M}:[0-5][0-9] {_TZ} (?:AM|PM)$"),
     # RFC 2822 (mail/HTTP) and unix ctime — the two highest-traffic
     # day-name datetime shapes in crawled web data
     ("EEE, d MMM yyyy HH:mm:ss Z", rf"^{_DAY3}, {_D} {_MON} {_Y4} {_HMS} {_OFF}$"),
@@ -276,6 +299,11 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("d MMM yyyy HH:mm:ss Z", rf"^{_D} {_MON} {_Y4} {_HMS} {_OFF}$"),
     ("d MMM yyyy HH:mm:ss z", rf"^{_D} {_MON} {_Y4} {_HMS} {_TZ}$"),
     ("d-MMM-yyyy h:mm:ss a", rf"^{_D}-{_MON}-{_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
+    ("d-MMM-yyyy H.mm.ss", rf"^{_D}-{_MON}-{_Y4} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]$"),
+    ("d MMMM yyyy HH:mm:ss z", rf"^{_D} {_MONTH} {_Y4} {_HMS} {_TZ}$"),
+    ("dd MMMM yyyy HH:mm:ss z", rf"^{_DD} {_MONTH} {_Y4} {_HMS} {_TZ}$"),
+    ("d MMMM yyyy H.mm.ss z", rf"^{_D} {_MONTH} {_Y4} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9] {_TZ}$"),
+    ("d. MMMM yyyy HH:mm:ss z", rf"^{_D}\. {_MONTH} {_Y4} {_HMS} {_TZ}$"),
     # time-led date forms (reference Groups 10/18)
     ("HH:mm dd/MM/yyyy", rf"^{_HM} {_DD}/{_MM}/{_Y4}$"),
     ("HH:mm:ss dd-MM-yyyy", rf"^{_HMS} {_DD}-{_MM}-{_Y4}$"),
@@ -383,88 +411,117 @@ TIME_COMBINED_PATTERN = "|".join(f"(?:{rx[1:-1]})" for _f, rx in TIME_REGEXES).j
 # first-match cascade the DuckDB oracle runs.
 _ALL = dict(DATE_REGEXES + TIME_REGEXES)
 
-
-def _grp(gate: str, *fmts: str) -> tuple[str, tuple[tuple[str, str], ...]]:
-    return gate, tuple((f, _ALL[f]) for f in fmts)
-
-
-DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = (
-    _grp(r"^[0-9]{4}-", "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
-         "yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd HH:mm:ss.S",
-         "yyyy-M-d", "yyyy-MM-dd HH:mm", "yyyy-MM-dd H:mm:ss",
-         "yyyy-MM-dd h:mm a", "yyyy-MM-dd HH:mm:ss,SSS", "yyyy-MM-dd HH:mm:ssXXX",
-         "yyyy-MM-ddXXX", "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
-         "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-DDDXXX", "YYYY-'W'w-c",
-         "yyyy-MM-dd h:mm:ss a", "yyyy-M-d HH:mm:ss", "yyyy-M-d H:mm",
-         "yyyy-MM-dd HH.mm.ss", "yyyy-MM-dd'T'HH:mm:ss,SSS",
-         "yyyy-MM-dd'T'HH:mm:ssZ", "yyyy-MM-dd HH:mm:ssZ"),
-    _grp(r"^[0-9]{4}/", "yyyy/MM/dd", "yyyy/M/d", "yyyy/MM/dd HH:mm:ss",
-         "yyyy/MM/dd H:mm", "yyyy/MM/dd H:mm:ss"),
-    _grp(r"^[0-9]{1,2}/", "M/d/yyyy", "MM/dd/yyyy", "d/M/yyyy", "dd/MM/yyyy",
-         "M/d/yyyy H:mm", "M/d/yy", "MM/dd/yy", "dd/MM/yy", "d/MM/yy",
-         "yy/MM/dd", "dd/MM/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
-         "d/M/yyyy H:mm:ss", "dd/MM/yyyy HH:mm", "MM/dd/yyyy HH:mm",
-         "M/d/yyyy h:mm a",
-         "dd/MM/yyyy h:mm:ss a", "MM/dd/yyyy h:mm:ss a", "M/d/yyyy h:mm:ss a",
-         "dd/MM/yyyy h:mm a", "M/d/yy h:mm a", "MM/dd/yy HH:mm",
-         "dd/MM/yy HH:mm", "M/d/yy HH:mm", "M/d/yy H:mm",
-         "MM/dd/yy HH:mm:ss", "dd/MM/yy HH:mm:ss", "M/d/yy H:mm:ss",
-         "dd/MM/yy H.mm", "yy/MM/dd HH:mm", "yy/MM/dd H:mm",
-         "yy/MM/dd H:mm:ss"),
-    _grp(r"^[0-9]{1,2}-[0-9]", "dd-MM-yyyy", "M-d-yyyy", "yy-MM-dd", "MM-dd-yy", "d-M-yy",
-         "MM-dd-yyyy", "dd-MM-yy", "MM-dd-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm:ss",
-         "MM-dd-yyyy HH:mm", "MM-dd-yyyy h:mm a", "MM-dd-yyyy h:mm:ss a",
-         "M-d-yyyy HH:mm:ss", "M-d-yyyy H:mm", "dd-MM-yyyy H:mm",
-         "yy-MM-dd HH:mm", "MM-dd-yy HH:mm", "MM-dd-yy h:mm a",
-         "MM-dd-yy HH:mm:ss", "M-d-yy HH:mm", "M-d-yy H:mm:ss",
-         "dd-MM-yy HH:mm"),
-    _grp(r"^[0-9]{1,2}-[A-Za-z]", "d-MMM-yyyy", "dd-MMM-yy",
-         "dd-MMM-yyyy", "dd-MMM-yyyy HH:mm:ss", "d-MMM-yyyy h:mm:ss a"),
-    _grp(r"^[0-9]{4}\.", "yyyy.MM.dd", "yyyy.MM.dd HH:mm:ss", "yyyy.MM.dd HH:mm"),
-    # in-group order == the flat DATE_REGEXES+TIME_REGEXES order
-    # restricted to this gate (tests/test_typeinfer.py asserts this for
-    # every group — it is what makes the dispatch provably identical to
-    # the oracle's flat scan without any shape-disjointness argument)
-    _grp(r"^[0-9]{1,2}\.", "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy",
-         "d.MM.yyyy", "yy.M.d", "dd.MM.yyyy HH:mm:ss", "dd.MM.yyyy HH:mm",
-         "d.M.yyyy H:mm",
-         "dd.MM.yyyy H:mm:ss", "d.M.yyyy HH:mm:ss", "d.M.yyyy H:mm:ss",
-         "d.M.yyyy H.mm.ss", "d.MM.yyyy H:mm:ss", "dd.MM.yy HH:mm",
-         "dd.MM.yy H:mm", "d.M.yy HH:mm", "d.M.yy H:mm",
-         "dd.MM.yy HH:mm:ss", "d.M.yy H.mm",
-         "d. MMMM yyyy (de)", "H.mm", "H.mm.ss",
-         "H.mm.ss z", "HH.mmX", "H.mmX", "HH.mm.ssX", "H.mm.ssX",
-         "HH.mmZ", "H.mmZ", "HH.mm.ssZ", "H.mm.ssZ",
-         "HH.mmXXX", "H.mmXXX", "HH.mm.ssXXX", "H.mm.ssXXX"),
-    _grp(r"^[0-9]{8}$", "yyyyMMdd"),
-    _grp(r"^[0-9]{8}[+-]", "yyyyMMddZ"),
-    _grp(r"^[0-9]{4}年", "yyyy'年'M'月'd'日'"),
-    _grp(r"^[0-9]{4}W", "YYYY'W'wc"),
-    _grp(r"^[A-Za-z]", "MMM d, yyyy", "MMMM d, yyyy",
-         "MMM d yyyy", "MMMM d yyyy", "MMM.dd.yyyy", "MMM d, yyyy h:mm:ss a",
-         "EEEE, MMMM d, yyyy", "EEEE d MMMM yyyy",
-         "EEE, d MMM yyyy HH:mm:ss Z", "EEE MMM dd HH:mm:ss z yyyy"),
+# Gate membership is declared as SETS; the ordered family list for each
+# gate is BUILT from the flat DATE_REGEXES+TIME_REGEXES order, so the
+# dispatch is identical to the oracle's flat first-match scan BY
+# CONSTRUCTION (tests/test_typeinfer.py re-asserts it).  Gates are
+# pairwise exclusive (leading digit-run width + following separator).
+_GATE_MEMBERS: tuple[tuple[str, frozenset[str]], ...] = (
+    (r"^[0-9]{4}-", frozenset({
+        "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd HH:mm:ss.S",
+        "yyyy-M-d", "yyyy-MM-dd HH:mm", "yyyy-MM-dd H:mm:ss",
+        "yyyy-MM-dd h:mm a", "yyyy-MM-dd HH:mm:ss,SSS", "yyyy-MM-dd HH:mm:ssXXX",
+        "yyyy-MM-ddXXX", "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+        "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-DDDXXX", "YYYY-'W'w-c",
+        "yyyy-MM-dd h:mm:ss a", "yyyy-M-d HH:mm:ss", "yyyy-M-d H:mm",
+        "yyyy-MM-dd HH.mm.ss", "yyyy-MM-dd'T'HH:mm:ss,SSS",
+        "yyyy-MM-dd'T'HH:mm:ssZ", "yyyy-MM-dd HH:mm:ssZ", "yyyy-MM-dd G",
+    })),
+    (r"^[0-9]{4}/", frozenset({
+        "yyyy/MM/dd", "yyyy/M/d", "yyyy/MM/dd HH:mm:ss",
+        "yyyy/MM/dd H:mm", "yyyy/MM/dd H:mm:ss",
+    })),
+    (r"^[0-9]{1,2}/", frozenset({
+        "M/d/yyyy", "MM/dd/yyyy", "d/M/yyyy", "dd/MM/yyyy",
+        "M/d/yyyy H:mm", "M/d/yy", "MM/dd/yy", "dd/MM/yy", "d/MM/yy",
+        "yy/MM/dd", "dd/MM/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
+        "d/M/yyyy H:mm:ss", "dd/MM/yyyy HH:mm", "MM/dd/yyyy HH:mm",
+        "M/d/yyyy h:mm a",
+        "dd/MM/yyyy h:mm:ss a", "MM/dd/yyyy h:mm:ss a", "M/d/yyyy h:mm:ss a",
+        "dd/MM/yyyy h:mm a", "M/d/yy h:mm a", "MM/dd/yy HH:mm",
+        "dd/MM/yy HH:mm", "M/d/yy HH:mm", "M/d/yy H:mm",
+        "MM/dd/yy HH:mm:ss", "dd/MM/yy HH:mm:ss", "M/d/yy H:mm:ss",
+        "dd/MM/yy H.mm", "yy/MM/dd HH:mm", "yy/MM/dd H:mm",
+        "yy/MM/dd H:mm:ss", "d/MMM/yyyy H:mm:ss Z", "dd/MMM/yy h:mm a",
+    })),
+    (r"^[0-9]{1,2}-[0-9]", frozenset({
+        "dd-MM-yyyy", "M-d-yyyy", "yy-MM-dd", "MM-dd-yy", "d-M-yy",
+        "MM-dd-yyyy", "dd-MM-yy", "MM-dd-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm:ss",
+        "MM-dd-yyyy HH:mm", "MM-dd-yyyy h:mm a", "MM-dd-yyyy h:mm:ss a",
+        "M-d-yyyy HH:mm:ss", "M-d-yyyy H:mm", "dd-MM-yyyy H:mm",
+        "yy-MM-dd HH:mm", "MM-dd-yy HH:mm", "MM-dd-yy h:mm a",
+        "MM-dd-yy HH:mm:ss", "M-d-yy HH:mm", "M-d-yy H:mm:ss",
+        "dd-MM-yy HH:mm", "yy-MM-dd h.mm.a",
+    })),
+    (r"^[0-9]{1,2}-[A-Za-z]", frozenset({
+        "d-MMM-yyyy", "dd-MMM-yy", "dd-MMM-yyyy", "dd-MMM-yyyy HH:mm:ss",
+        "d-MMM-yyyy h:mm:ss a", "d-MMM-yyyy H.mm.ss",
+    })),
+    (r"^[0-9]{4}\.", frozenset({
+        "yyyy.MM.dd", "yyyy.MM.dd HH:mm:ss", "yyyy.MM.dd HH:mm",
+        "yyyy.MM.dd.", "yyyy. M. d", "yyyy.d.M", "yyyy.MM.dd. H:mm:ss",
+        "yyyy.MM.dd. H:mm", "yyyy.d.M HH:mm:ss",
+    })),
+    (r"^[0-9]{1,2}\.", frozenset({
+        "dd.MM.yyyy", "d.M.yyyy", "dd.MM.yy", "d.M.yy",
+        "d.MM.yyyy", "yy.M.d", "dd.MM.yyyy HH:mm:ss", "dd.MM.yyyy HH:mm",
+        "d.M.yyyy H:mm",
+        "dd.MM.yyyy H:mm:ss", "d.M.yyyy HH:mm:ss", "d.M.yyyy H:mm:ss",
+        "d.M.yyyy H.mm.ss", "d.MM.yyyy H:mm:ss", "dd.MM.yy HH:mm",
+        "dd.MM.yy H:mm", "d.M.yy HH:mm", "d.M.yy H:mm",
+        "dd.MM.yy HH:mm:ss", "d.M.yy H.mm",
+        "dd.MM.yyyy.", "d.M.yy.", "yy. M. d", "yy.d.M", "yy.M.d HH.mm",
+        "d.M.yy. HH.mm", "dd.MM.yyyy. HH.mm.ss", "dd.MM.yyyy. HH.mm.ss z",
+        "d. MMMM yyyy (de)", "d. MMMM yyyy HH:mm:ss z", "H.mm", "H.mm.ss",
+        "H.mm.ss z", "HH.mmX", "H.mmX", "HH.mm.ssX", "H.mm.ssX",
+        "HH.mmZ", "H.mmZ", "HH.mm.ssZ", "H.mm.ssZ",
+        "HH.mmXXX", "H.mmXXX", "HH.mm.ssXXX", "H.mm.ssXXX",
+    })),
+    (r"^[0-9]{8}$", frozenset({"yyyyMMdd"})),
+    (r"^[0-9]{8}[+-]", frozenset({"yyyyMMddZ"})),
+    (r"^[0-9]{4}年", frozenset({"yyyy'年'M'月'd'日'"})),
+    (r"^[0-9]{4}W", frozenset({"YYYY'W'wc"})),
+    (r"^[A-Za-z]", frozenset({
+        "MMM d, yyyy", "MMMM d, yyyy",
+        "MMM d yyyy", "MMMM d yyyy", "MMM.dd.yyyy", "MMM d, yyyy h:mm:ss a",
+        "EEEE, MMMM d, yyyy", "EEEE d MMMM yyyy",
+        "EEEE, d MMMM yyyy", "EEEE, d. MMMM yyyy",
+        "MMMM d, yyyy h:mm:ss a z", "MMMM d, yyyy h:mm:ss z a",
+        "EEE, d MMM yyyy HH:mm:ss Z", "EEE MMM dd HH:mm:ss z yyyy",
+    })),
     # [A-Za-zÀ-ÿ]: French/Spanish months may open with an accented letter (août)
-    _grp(r"^[0-9]{1,2} [A-Za-zÀ-ÿ]", "d MMM yyyy", "d MMMM yyyy",
-         "dd MMMM yyyy", "d MMM yyyy HH:mm:ss",
-         "d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss z",
-         "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)",
-         "d MMMM yyyy (it)", "d 'de' MMMM 'de' yyyy (pt)", "d MMMM yyyy (nl)",
-         "HH' h 'mm z", "H' h 'mm z"),
-    # date-led entries first: mirrors the flat cascade (DATE_REGEXES
-    # before TIME_REGEXES); no value matches both shapes, but the order
-    # keeps the group provably identical to the oracle's flat scan
-    _grp(r"^[0-9]{1,2}:", "HH:mm dd/MM/yyyy", "HH:mm:ss dd-MM-yyyy",
-         "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
-         "HH:mm:ss z", "HH:mm:ss.S",
-         "H:mm:ss", "h:mm:ss a z", "h:mm:ss z a", "H:mm:ss z",
-         "HH:mm' Uhr 'z", "HH:mm:ss 'o''clock' z", "h:mm:ss 'o''clock' a z",
-         "HH:mmX", "H:mmX", "HH:mm:ssX", "H:mm:ssX",
-         "HH:mmZ", "H:mmZ", "HH:mm:ssZ", "H:mm:ssZ",
-         "HH:mmXXX", "H:mmXXX", "HH:mm:ssXXX", "H:mm:ssXXX"),
-    _grp(r"^(?:上午|下午)", "ah:mm", "ahh'时'mm'分'ss'秒'",
-         "ahh'时'mm'分'ss'秒' z"),
-    _grp(r"^[0-9]{1,2}時", "H'時'mm'分'ss'秒' z"),
+    (r"^[0-9]{1,2} [A-Za-zÀ-ÿ]", frozenset({
+        "d MMM yyyy", "d MMMM yyyy",
+        "dd MMMM yyyy", "d MMM yyyy HH:mm:ss",
+        "d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss z",
+        "d MMMM yyyy HH:mm:ss z", "dd MMMM yyyy HH:mm:ss z",
+        "d MMMM yyyy H.mm.ss z",
+        "d MMMM yyyy (fr)", "d MMM yyyy (fr)", "d 'de' MMMM 'de' yyyy (es)",
+        "d MMMM yyyy (it)", "d 'de' MMMM 'de' yyyy (pt)", "d MMMM yyyy (nl)",
+        "HH' h 'mm z", "H' h 'mm z",
+    })),
+    (r"^[0-9]{1,2}:", frozenset({
+        "HH:mm dd/MM/yyyy", "HH:mm:ss dd-MM-yyyy",
+        "HH:mm:ss", "HH:mm", "H:mm", "h:mm a", "h:mm:ss a",
+        "HH:mm:ss z", "HH:mm:ss.S",
+        "H:mm:ss", "h:mm:ss a z", "h:mm:ss z a", "H:mm:ss z",
+        "HH:mm' Uhr 'z", "HH:mm:ss 'o''clock' z", "h:mm:ss 'o''clock' a z",
+        "HH:mmX", "H:mmX", "HH:mm:ssX", "H:mm:ssX",
+        "HH:mmZ", "H:mmZ", "HH:mm:ssZ", "H:mm:ssZ",
+        "HH:mmXXX", "H:mmXXX", "HH:mm:ssXXX", "H:mm:ssXXX",
+    })),
+    (r"^(?:上午|下午)", frozenset({
+        "ah:mm", "ahh'时'mm'分'ss'秒'", "ahh'时'mm'分'ss'秒' z",
+    })),
+    (r"^[0-9]{1,2}時", frozenset({"H'時'mm'分'ss'秒' z"})),
+)
+
+_FLAT_ORDER = tuple(f for f, _rx in DATE_REGEXES + TIME_REGEXES)
+
+DATETIME_GROUPS: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = tuple(
+    (gate, tuple((f, _ALL[f]) for f in _FLAT_ORDER if f in members))
+    for gate, members in _GATE_MEMBERS
 )
 
 
