@@ -324,3 +324,49 @@ def escape_text_sql(expr: str) -> str:
     out = f"replace({expr}, '&', '&amp;')"
     out = f"replace({out}, '<', '&lt;')"
     return f"replace({out}, '>', '&gt;')"
+
+
+# ---------------------------------------------------------------------------
+# Robots-meta extraction (round 5 — crawl-compliance signal)
+# ---------------------------------------------------------------------------
+
+# <meta name="robots" content="..."> in the fixed attribute order the
+# fixtures synthesize; whitespace class spelled explicitly (the \s
+# dialect trap — Java includes \x0B, RE2 does not).  Case-insensitive
+# via (?i), supported identically in Java/`re`/RE2.
+META_ROBOTS_RX = (
+    r'(?i)<meta[ \t\n\r\f]+name="robots"[ \t\n\r\f]+content="([^"]*)"'
+)
+
+
+def robots_meta_expr(col: Column) -> list[Column]:
+    """(robots_content, noindex, nofollow) from raw markup: the page-level
+    crawl-compliance signal a pipeline must respect before a page enters
+    the corpus.  Directive matching is substring-on-lowercase (covers
+    'noindex,nofollow', spaced variants, and NONE which implies both per
+    the robots spec — documented simplification: NONE handled, ALL is
+    the absent-default).  Pure expressions riding the scan."""
+    content = F.lower(F.regexp_extract(col, META_ROBOTS_RX, 1))
+    noindex = F.contains(content, F.lit("noindex")) | F.contains(
+        content, F.lit("none")
+    )
+    nofollow = F.contains(content, F.lit("nofollow")) | F.contains(
+        content, F.lit("none")
+    )
+    return [
+        content.alias("robots_content"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+    ]
+
+
+def robots_meta_sql(expr: str) -> list[str]:
+    """DuckDB twin of `robots_meta_expr` (same pattern constant)."""
+    content = f"lower(regexp_extract({expr}, {_sql_str(META_ROBOTS_RX)}, 1))"
+    noindex = f"(contains({content}, 'noindex') OR contains({content}, 'none'))"
+    nofollow = f"(contains({content}, 'nofollow') OR contains({content}, 'none'))"
+    return [
+        f"{content} AS robots_content",
+        f"{noindex} AS noindex",
+        f"{nofollow} AS nofollow",
+    ]

@@ -236,3 +236,126 @@ def top_ngram_stats_multi(
         ).otherwise(F.lit(0.0))
         out_cols += [gram, cnt, frac.alias(f"top{n}_frac")]
     return wide.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Script profiling + mojibake detection (round 5 — multilingual-crawl QA)
+# ---------------------------------------------------------------------------
+
+# Unicode-script classes in the Java∩RE2 common subset (the same
+# \x{...}-range device as profiling.char_pattern_expr, whose DuckDB twin
+# is parity-proven).  LATIN includes the Latin-1/Extended letter blocks;
+# the two stray math signs inside 00C0-024F (× ÷) are counted as Latin —
+# documented approximation, identical in both engines.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("han", r"[\x{4E00}-\x{9FFF}]"),
+    ("kana", r"[\x{3040}-\x{30FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("digit", r"[0-9]"),
+)
+
+
+def _class_count(col: Column, rx: str) -> Column:
+    """Codepoint count of a character class: length delta of a
+    regexp_replace strip — pure codegen'd expression, no explode."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, rx, ""))
+    ).cast("bigint")
+
+
+def script_profile(col: Column) -> list[Column]:
+    """Per-script codepoint counts plus the dominant letter script — the
+    script/language routing signal a multilingual crawl derives before
+    language-ID (CJK/Cyrillic/Arabic pages route to different tokenizer
+    and quality stacks).  `dominant_script` is the max-count LETTER
+    script (digits excluded); ties and all-zero rows resolve by the
+    fixed class order / 'none' — deterministic in both engines.
+
+    Scale shape: 8 regexp_replace length-deltas per row, zero shuffle —
+    rides the scan at any corpus size."""
+    counts = {name: _class_count(col, rx) for name, rx in SCRIPT_CLASSES}
+    letters = [n for n, _ in SCRIPT_CLASSES if n != "digit"]
+    best = F.greatest(*[counts[n] for n in letters])
+    dominant = F.lit("none")
+    # reversed fold so the FIRST class in SCRIPT_CLASSES wins ties,
+    # mirroring the oracle's first-match CASE
+    for name in reversed(letters):
+        dominant = F.when(
+            (counts[name] > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(dominant)
+    cols = [counts[n].alias(f"n_{n}") for n, _ in SCRIPT_CLASSES]
+    return cols + [dominant.alias("dominant_script")]
+
+
+def script_profile_sql(expr: str) -> list[str]:
+    """DuckDB twin of `script_profile` — generated from SCRIPT_CLASSES."""
+    cnt = {
+        name: (
+            f"CAST(length({expr}) - length(regexp_replace({expr}, "
+            f"'{rx}', '', 'g')) AS BIGINT)"
+        )
+        for name, rx in SCRIPT_CLASSES
+    }
+    letters = [n for n, _ in SCRIPT_CLASSES if n != "digit"]
+    best = "greatest(" + ", ".join(cnt[n] for n in letters) + ")"
+    arms = " ".join(
+        f"WHEN {cnt[n]} > 0 AND {cnt[n]} = {best} THEN '{n}'" for n in letters
+    )
+    out = [f"{cnt[n]} AS n_{n}" for n, _ in SCRIPT_CLASSES]
+    out.append(f"CASE {arms} ELSE 'none' END AS dominant_script")
+    return out
+
+
+# Common UTF-8-decoded-as-Latin-1 artifacts.  Deliberately prefix-free
+# (no entry is a prefix of another) so per-artifact occurrence counts
+# never double-count; U+FFFD is the decoder-replacement marker.
+MOJIBAKE_ARTIFACTS: tuple[str, ...] = (
+    "Ã©", "Ã¨", "Ã«", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§", "Ã³", "Ã­", "Ã¡", "Ãº",
+    "â€™", "â€œ", "â€“", "â€”", "â€¦", "Â«", "Â»", "Â°",
+)
+REPLACEMENT_CHAR = "�"
+
+
+def mojibake_metrics(col: Column) -> list[Column]:
+    """(n_mojibake, n_replacement, is_mojibake): occurrence counts of the
+    classic UTF-8-as-Latin-1 artifact set plus the U+FFFD decoder
+    marker — the cheap encoding-QA gate a crawl pipeline runs before
+    spending tokenizer budget on garbage.  Counts are exact integers
+    (length-delta / artifact-length; the division is exact so the
+    BIGINT cast is engine-stable).  Pure expressions, zero shuffle."""
+    total = F.lit(0).cast("bigint")
+    for a in MOJIBAKE_ARTIFACTS:
+        delta = F.length(col) - F.length(F.replace(col, F.lit(a), F.lit("")))
+        total = total + (delta / F.lit(len(a))).cast("bigint")
+    repl = (
+        F.length(col) - F.length(F.replace(col, F.lit(REPLACEMENT_CHAR), F.lit("")))
+    ).cast("bigint")
+    return [
+        total.alias("n_mojibake"),
+        repl.alias("n_replacement"),
+        ((total + repl) > 0).alias("is_mojibake"),
+    ]
+
+
+def mojibake_metrics_sql(expr: str) -> list[str]:
+    """DuckDB twin of `mojibake_metrics` (same artifact table)."""
+    parts = []
+    for a in MOJIBAKE_ARTIFACTS:
+        lit = a.replace("'", "''")
+        parts.append(
+            f"CAST((length({expr}) - length(replace({expr}, '{lit}', ''))) "
+            f"/ {len(a)} AS BIGINT)"
+        )
+    total = "(" + " + ".join(parts) + ")"
+    repl = (
+        f"CAST(length({expr}) - length(replace({expr}, chr(65533), '')) AS BIGINT)"
+    )
+    return [
+        f"{total} AS n_mojibake",
+        f"{repl} AS n_replacement",
+        f"({total} + {repl}) > 0 AS is_mojibake",
+    ]

@@ -4070,3 +4070,156 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = outlink_domain_edges(pages, "html", "url")
     ranks = pagerank_fixed(edges, iters=3)
     return ranks.select(F.col("node").alias("domain"), F.col("rank").alias("rank_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Script profiling / mojibake / robots-meta (round-5 crawl-QA extensions)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_SNIPPETS: tuple[str, ...] = (
+    "",                       # pure base text
+    " привет мир",            # Cyrillic
+    " 你好世界",               # Han
+    " こんにちはカタカナ",      # Hiragana + Katakana
+    " مرحبا بالعالم",         # Arabic
+    " αβγ δέλτα 안녕하세요",   # Greek + Hangul
+)
+
+
+def _script_profile_oracle_sql() -> str:
+    from .operators.text_analysis import script_profile_sql
+
+    arms = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SCRIPT_SNIPPETS)
+    )
+    mixed = f"(coalesce(text, '') || CASE CAST(doc_id % 6 AS INTEGER) {arms} END)"
+    cols = ",\n      ".join(script_profile_sql("v"))
+    return f"""
+    WITH m AS (SELECT doc_id, {mixed} AS v FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      {cols}
+    FROM m
+    """
+
+
+@_register("script_profile_docs", _script_profile_oracle_sql())
+def script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-script codepoint profile + dominant letter script over a
+    deterministic multilingual mix (base text plus a Cyrillic / Han /
+    Kana / Arabic / Greek+Hangul snippet by doc_id): the routing signal
+    a multilingual crawl derives before language-ID.  Eight
+    regexp_replace length-deltas per row, zero shuffle — rides the scan
+    (see `operators/text_analysis.py:script_profile`).  No reference
+    analog — training-pipeline extension."""
+    from .operators.text_analysis import script_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    snippet = F.element_at(
+        F.split(F.lit("\x00".join(_SCRIPT_SNIPPETS)), "\x00"),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    mixed = F.concat(F.coalesce(F.col("text"), F.lit("")), snippet)
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *script_profile(mixed),
+    )
+
+
+def _mojibake_oracle_sql() -> str:
+    from .operators.text_analysis import mojibake_metrics_sql
+
+    arms = (
+        "CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN ' cafÃ© dÃ©jÃ  vu Ã±' "
+        "WHEN 2 THEN ' â€œquotedâ€” tail â€¦ Â«xÂ»' "
+        "WHEN 3 THEN (' broken ' || chr(65533) || ' char') ELSE '' END"
+    )
+    mixed = f"(coalesce(text, '') || {arms})"
+    cols = ",\n      ".join(mojibake_metrics_sql("v"))
+    return f"""
+    WITH m AS (SELECT doc_id, {mixed} AS v FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      {cols}
+    FROM m
+    """
+
+
+@_register("mojibake_docs", _mojibake_oracle_sql())
+def mojibake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-QA metrics over a deterministic artifact mix: counts of
+    the classic UTF-8-as-Latin-1 mojibake digraphs and the U+FFFD
+    replacement marker, plus the boolean gate — the cheap filter a
+    crawl runs before spending tokenizer budget on garbage.  Exact
+    integer counts (length-delta / artifact-length), pure per-row
+    expressions, zero shuffle (`operators/text_analysis.py:
+    mojibake_metrics`).  No reference analog — training-pipeline
+    extension."""
+    from .operators.text_analysis import mojibake_metrics
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    arm = (
+        F.when(i % 4 == 1, F.lit(" cafÃ© dÃ©jÃ  vu Ã±"))
+        .when(i % 4 == 2, F.lit(" â€œquotedâ€” tail â€¦ Â«xÂ»"))
+        .when(i % 4 == 3, F.lit(" broken � char"))
+        .otherwise(F.lit(""))
+    )
+    mixed = F.concat(F.coalesce(F.col("text"), F.lit("")), arm)
+    return docs.select(
+        i.cast("bigint").alias("doc_id"),
+        *mojibake_metrics(mixed),
+    )
+
+
+def _robots_meta_oracle_sql() -> str:
+    from .operators.htmltext import robots_meta_sql
+
+    meta = (
+        "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN '' "
+        "ELSE ('<meta name=\"robots\" content=\"' || "
+        "(CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN 'noindex' "
+        "WHEN 2 THEN 'INDEX, NoFollow' ELSE 'none' END) || '\">') END"
+    )
+    html = (
+        "('<html><head><title>t' || CAST(doc_id AS VARCHAR) || '</title>' "
+        f"|| {meta} || '</head><body><p>b</p></body></html>')"
+    )
+    cols = ",\n      ".join(robots_meta_sql("h"))
+    return f"""
+    WITH m AS (SELECT doc_id, {html} AS h FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      {cols}
+    FROM m
+    """
+
+
+@_register("robots_meta_pages", _robots_meta_oracle_sql())
+def robots_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta compliance signal over a deterministic page fixture
+    (no-meta / noindex / mixed-case nofollow / NONE arms): directive
+    string plus noindex/nofollow booleans — the page-level gate a
+    compliant pipeline applies before a page enters the corpus.  Pure
+    codegen'd expressions riding the scan
+    (`operators/htmltext.py:robots_meta_expr`).  No reference analog —
+    training-pipeline extension."""
+    from .operators.htmltext import robots_meta_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    meta = F.when(i % 4 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<meta name="robots" content="'),
+            F.when(i % 4 == 1, F.lit("noindex"))
+            .when(i % 4 == 2, F.lit("INDEX, NoFollow"))
+            .otherwise(F.lit("none")),
+            F.lit('">'),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t"), i.cast("string"), F.lit("</title>"),
+        meta,
+        F.lit("</head><body><p>b</p></body></html>"),
+    )
+    return docs.select(
+        i.cast("bigint").alias("doc_id"),
+        *robots_meta_expr(html),
+    )
