@@ -4223,3 +4223,51 @@ def robots_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         i.cast("bigint").alias("doc_id"),
         *robots_meta_expr(html),
     )
+
+
+def _token_budget_oracle_sql() -> str:
+    from .operators.text_analysis import BPE_TOKEN_PATTERN
+
+    ws = "len(list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n]+'), x -> x <> ''))"
+    bpe = f"len(regexp_extract_all(coalesce(text, ''), '{BPE_TOKEN_PATTERN}'))"
+    return f"""
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum({ws}) AS BIGINT) AS total_ws_tokens,
+      CAST(sum({bpe}) AS BIGINT) AS total_bpe_tokens,
+      CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """
+
+
+@_register("token_budget_by_lang", _token_budget_oracle_sql())
+def token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget rollup: document count, whitespace and
+    BPE-style token totals, character total — the planning view behind a
+    training-mix (how many tokens each language contributes before
+    sampling weights are chosen).  All aggregates are algebraic exact
+    integers, so map-side partial aggregation caps skew (English
+    dominating a crawl is the normal case) and the result is bit-stable
+    across partitionings.  Tokenization is the same JVM-side
+    regexp_count device as `doc_token_counts`
+    (`operators/text_analysis.py`).  No reference analog —
+    training-pipeline extension."""
+    from .operators.text_analysis import bpe_token_count, whitespace_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        docs.select(
+            "lang",
+            whitespace_token_count(t).alias("_ws"),
+            bpe_token_count(t).alias("_bpe"),
+            F.length(t).alias("_ch"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_ws").cast("bigint").alias("total_ws_tokens"),
+            F.sum("_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("_ch").cast("bigint").alias("total_chars"),
+        )
+    )
