@@ -112,6 +112,10 @@ HEADLINE = [
     "top_ngram_docs",
     "outlink_graph_pages",
     "domain_pagerank",
+    "script_profile_docs",
+    "mojibake_docs",
+    "robots_meta_pages",
+    "token_budget_by_lang",
 ]
 
 
