@@ -20,70 +20,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Evidence-priority ordering: the driver's correctness gate samples the FIRST
-# 50 entries of queries(), so this list IS the round-4 sample — weakest prior
-# driver evidence first: (a) queries/oracles NEW or CHANGED this round (no
-# driver row exists for their current form), (b) entries with exactly one
-# green round so far (r3), (c) entries whose only green rows are r1/r2
-# (refresh).  The entries that fall outside the sample are multiply-verified
-# r3-green queries untouched this round (events_hourly_windows,
-# salted_event_counts, top_order_per_status, mask_customer_names,
-# standardize_nation, quality_score_docs, profile_customer_table,
-# fuzzy_standardize_names) plus the two by-nature rows-only approximations
-# (HLL, approx-quantile) whose no_oracle status is already adjudicated.
+# 50 entries of queries(), so this list IS the round-5 sample — weakest prior
+# driver evidence first: (a) queries NEW or CHANGED this round (no driver row
+# exists for their current form: the four round-5 crawl-QA queries; the
+# datetime query whose recognition table grew 48→214 formats; the HTML
+# extraction query with numeric charrefs; the four registered_domain
+# consumers on the generated public-suffix table; the four classify()
+# consumers whose type verdicts could shift with the wider date/time tables),
+# then (b) every query NOT sampled in round 4 (their newest green row is r3
+# or older — the first-50 rotation rule), then (c) the pinned-VALUES-oracle
+# entries, whose pins can silently drift and therefore always carry the
+# weakest standing evidence.  The 36 entries outside the sample all have an
+# r4 hash-green row on unchanged code.
 _PRIORITY = [
-    # (a) new/changed this round — no driver row for the current form
-    "quality_pipeline_docs",  # flagship: pinned VALUES oracle (was rows-only)
-    "phonetic_linkage_names",  # restructured late r3; driver row is r2-era
-    "weighted_reservoir_orders",  # pinned selected-ids oracle (was no_oracle)
-    "umalqura_convert_orders",  # new query (Umm al-Qura table path)
-    "datetime_patterns_orders",  # +IT/PT/NL month-name families
-    "phone_metadata_customers",  # NANPA table widened + carrier path
-    "synonym_search_modes",  # oracle lists frozen (reference vectors)
-    "media_features",  # oracle frozen as spec-replay pin this round
-    "avro_nested_quality",  # avro.py split/truncation fixes
-    "mfb_clusters_parts",  # pinned oracle regenerated by pin_oracles.py
-    "ann_ivf_top3",  # pinned oracle regenerated by pin_oracles.py
-    "mx_verify_customer",  # new query (callback mail-server checker)
-    "url_canonical_dedup",  # new query; synth factored into shared helper
-    "line_dedup_docs",  # new query (CCNet cross-doc line dedup)
-    "dedup_clusters_global",  # new query (global CC, recursive-CTE oracle)
-    "contamination_docs",  # new query (benchmark decontamination)
-    "html_extract_pages",  # new query (HTML->text extraction cascade)
-    "domain_quality_stats",  # new query (per-domain quality rollup)
-    "dup_paragraph_docs",  # new query (within-doc dup-line metrics)
-    "stratified_sample_docs",  # new query (exact-k per stratum)
-    "card_scrub_docs",  # new query (Luhn-validated card scrub)
-    "top_ngram_docs",  # new query (Gopher top-n-gram signal)
-    "outlink_graph_pages",  # new query (href -> domain edge list)
-    "domain_pagerank",  # new query (fixed-point integer PageRank)
-    # (b) one green round so far (first driver row was r3)
-    "scrub_docs",
-    "japanese_normalize_vocab",
-    "chronology_convert_orders",
-    "sessionize_events",
-    "minhash_near_dups",
-    "ann_lsh_top3",
-    "embedding_near_dups",
-    "simhash_near_dups",
-    "record_linkage_parts",
-    "record_clusters_parts",
-    # (c) only r1/r2 green rows — refresh their evidence this round
-    "jaccard_adjacent_docs",
-    "exact_dedup_norm_docs",
-    "ann_bruteforce_top3",
-    "doc_token_counts",
-    "doc_fingerprints",
-    "doc_signatures",
-    "tokenized_weight_parts",
-    "matcher_weights_vocab",
-    "qgram_weights_parts",
-    "survivorship_most_common",
-    "reservoir_orders_k20",
-    "keyer_profile_parts",
-    "normalize_profile_parts",
-    "phone_profile_customers",
-    "phonetic_codes_names",
-    "json_quality_props",
+    # (a) new or changed in round 5
+    "script_profile_docs",  # NEW: per-script codepoint profile
+    "mojibake_docs",  # NEW: encoding-artifact QA
+    "robots_meta_pages",  # NEW: robots-meta compliance signal
+    "token_budget_by_lang",  # NEW: training-mix token rollup
+    "datetime_patterns_orders",  # 214-format table + SQL-CASE dispatch + 16-arm fixture
+    "html_extract_pages",  # numeric character references + fixture refs
+    "url_canonical_dedup",  # generated PSL + sentinel-probe registered_domain
+    "domain_quality_stats",  # same registered_domain rewrite
+    "outlink_graph_pages",  # same + call-site host binding
+    "domain_pagerank",  # same + edges persist
+    "type_profile_customer",  # classify() gained date/time formats
+    "value_quality_customer",  # classify() gained date/time formats
+    "dominant_type_votes",  # classify() gained date/time formats
+    "profile_customer_table",  # classify() gained date/time formats
+    # (b) not sampled in round 4 — newest green row is r3 or older
+    "doc_textstats",
+    "doc_quality_rules",
+    "doc_rule_hit_counts",
+    "pattern_freq_cname",
+    "pattern_freq_props",
+    "word_pattern_freq_pname",
+    "topk_event_types",
+    "cardinality_exact",
+    "cardinality_hll",
+    "quantiles_approx_lquantity",
+    "summary_lquantity",
+    "histogram_lquantity",
+    "quantiles_lquantity",
+    "text_length_docs",
+    "fingerprint_dedup_pname",
+    "exact_dedup_docs",
+    "email_check_customer",
+    "email_chain_customer",
+    "survivorship_orders",
+    "sample_docs_k50",
+    "minhash_docs",
+    "standardize_nation",
+    "fuzzy_standardize_names",
+    "mask_customer_names",
+    "events_hourly_windows",
+    "quality_score_docs",
+    "salted_event_counts",
+    "top_order_per_status",
+    # (c) pinned-oracle entries — pins can drift, keep them under the gate
+    "quality_pipeline_docs",
+    "mfb_clusters_parts",
+    "ann_ivf_top3",
+    "media_features",
+    "synonym_search_modes",
+    "weighted_reservoir_orders",
+    "mx_verify_customer",
+    "umalqura_convert_orders",
 ]
 
 
