@@ -27,11 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # extraction query with numeric charrefs; the four registered_domain
 # consumers on the generated public-suffix table; the four classify()
 # consumers whose type verdicts could shift with the wider date/time tables),
-# then (b) every query NOT sampled in round 4 (their newest green row is r3
-# or older — the first-50 rotation rule), then (c) the pinned-VALUES-oracle
-# entries, whose pins can silently drift and therefore always carry the
-# weakest standing evidence.  The 36 entries outside the sample all have an
-# r4 hash-green row on unchanged code.
+# then (b) every ORACLE-BACKED query NOT sampled in round 4 (their newest
+# green row is r3 or older — the first-50 rotation rule), then (c) the
+# pinned-VALUES-oracle entries, whose pins can silently drift and therefore
+# always carry the weakest standing evidence, plus two single-r4-green
+# structural operators.  The 36 entries outside the sample have an r4
+# hash-green row on unchanged code or (HLL / approx-quantile) can only ever
+# be rows-checked.
 _PRIORITY = [
     # (a) new or changed in round 5
     "script_profile_docs",  # NEW: per-script codepoint profile
@@ -57,8 +59,6 @@ _PRIORITY = [
     "word_pattern_freq_pname",
     "topk_event_types",
     "cardinality_exact",
-    "cardinality_hll",
-    "quantiles_approx_lquantity",
     "summary_lquantity",
     "histogram_lquantity",
     "quantiles_lquantity",
@@ -77,7 +77,15 @@ _PRIORITY = [
     "quality_score_docs",
     "salted_event_counts",
     "top_order_per_status",
-    # (c) pinned-oracle entries — pins can drift, keep them under the gate
+    # (c) pinned-oracle entries — pins can drift, keep them under the
+    # gate — plus two single-r4-green structural operators.  The two
+    # by-nature rows-only entries (cardinality_hll,
+    # quantiles_approx_lquantity) are deliberately OUTSIDE the sample:
+    # a no-oracle slot produces no value-hash evidence, so spending 2
+    # of the 50 gate slots on them would displace verifiable queries
+    # (their rows-only adjudication is already on record since r4).
+    "line_dedup_docs",
+    "dedup_clusters_global",
     "quality_pipeline_docs",
     "mfb_clusters_parts",
     "ann_ivf_top3",

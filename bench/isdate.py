@@ -115,7 +115,14 @@ Reproduce: `python bench/isdate.py`.
     md = open("BENCH/BASELINE.md").read()
     marker = "\n## isDate / getDatePatterns throughput"
     if marker in md:
-        md = md[: md.index(marker)]
+        # replace ONLY this script's own section: truncating to the
+        # marker ate every section appended after it (the sf1 soak
+        # table vanished that way — round-5 review finding); splice
+        # up to the NEXT '## ' heading instead
+        start = md.index(marker)
+        nxt = md.find("\n## ", start + 1)
+        tail = md[nxt:] if nxt != -1 else ""
+        md = md[:start] + tail
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md.rstrip("\n") + "\n" + section)
     print("updated BENCH/BASELINE.md")

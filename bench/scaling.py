@@ -194,15 +194,18 @@ def _write_report(r: dict, here: str) -> None:
             "at higher parallelism.  The criterion is one-sided (≥ 0.8), so the\n"
             "reading is reported as measured rather than clamped.\n",
         )
-    # preserve any sections other benches appended after the scaling block
-    # (e.g. bench/isdate.py's throughput-floor section)
+    # preserve EVERY section other benches own (isdate floors, sf1 soak,
+    # ...): the scaling block is the file's h1 preamble, so everything
+    # from the first '## ' heading onward belongs to someone else.
+    # (The old form kept only the '## isDate' tail and silently ate the
+    # sf1-soak section that sat before it — round-5 review finding.)
     path = os.path.join(repo, "BENCH", "BASELINE.md")
     tail = ""
     if os.path.exists(path):
         old = open(path).read()
-        for marker in ("\n## isDate",):
-            if marker in old:
-                tail = old[old.index(marker) :]
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
     with open(path, "w") as f:
         f.write("\n".join(lines) + tail)
 

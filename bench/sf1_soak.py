@@ -171,12 +171,21 @@ def main() -> None:
         lines.append(f"| {name} | {wall} | {n} | {st} | {mem} | {disk} |")
     lines.append("")
     lines.append(f"Total {total} s, zero task failures, zero OOM.")
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH", "BASELINE.md"),
-        "a",
-    ) as fh:
-        fh.write("\n".join(lines) + "\n")
-    print(f"soak total {total}s -> appended to BENCH/BASELINE.md")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "BENCH", "BASELINE.md"
+    )
+    md = open(path).read()
+    # splice out any previous soak section (up to the next '## ' heading)
+    # instead of blind-appending — the shared BASELINE.md protocol: every
+    # bench owns exactly its own section and preserves the others
+    marker = "\n## sf1 soak"
+    if marker in md:
+        start = md.index(marker)
+        nxt = md.find("\n## ", start + 1)
+        md = md[:start] + (md[nxt:] if nxt != -1 else "")
+    with open(path, "w") as fh:
+        fh.write(md.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+    print(f"soak total {total}s -> updated BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":

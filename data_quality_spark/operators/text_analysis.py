@@ -310,9 +310,11 @@ def script_profile_sql(expr: str) -> list[str]:
     return out
 
 
-# Common UTF-8-decoded-as-Latin-1 artifacts.  Deliberately prefix-free
-# (no entry is a prefix of another) so per-artifact occurrence counts
-# never double-count; U+FFFD is the decoder-replacement marker.
+# Common UTF-8-decoded-as-Latin-1 artifacts.  Deliberately
+# SUBSTRING-free (no entry occurs anywhere inside another — the
+# stronger property the independent per-artifact occurrence counts
+# actually require; test-enforced) so counts never double-count;
+# U+FFFD is the decoder-replacement marker.
 MOJIBAKE_ARTIFACTS: tuple[str, ...] = (
     "Ã©", "Ã¨", "Ã«", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§", "Ã³", "Ã­", "Ã¡", "Ãº",
     "â€™", "â€œ", "â€“", "â€”", "â€¦", "Â«", "Â»", "Â°",

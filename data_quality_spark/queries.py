@@ -4228,7 +4228,12 @@ def robots_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_budget_oracle_sql() -> str:
     from .operators.text_analysis import BPE_TOKEN_PATTERN
 
-    ws = "len(list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n]+'), x -> x <> ''))"
+    # the established _SQL_WORDS device ('\s+'): Java \s and RE2 \s agree
+    # on the ASCII whitespace set, while a hand-rolled '[ \t\n]+' class
+    # would diverge from the Spark side on \r / \f / \x0B (round-5
+    # review finding — the sf0.01 fixture happens to contain none, but
+    # the driver's value-hash gate must not depend on that)
+    ws = "len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> ''))"
     bpe = f"len(regexp_extract_all(coalesce(text, ''), '{BPE_TOKEN_PATTERN}'))"
     return f"""
     SELECT lang,

@@ -50,9 +50,10 @@ def test_mojibake_vectors(spark):
     assert r["n_replacement"] == 2 and r["is_mojibake"] is True
 
 
-def test_mojibake_artifacts_prefix_free():
+def test_mojibake_artifacts_substring_free():
     """The count device (independent per-artifact occurrence counts)
-    is only double-count-safe if no artifact is a substring of another."""
+    is only double-count-safe if no artifact occurs as a SUBSTRING of
+    another (strictly stronger than prefix-freedom)."""
     for a in MOJIBAKE_ARTIFACTS:
         for b in MOJIBAKE_ARTIFACTS:
             if a != b:
