@@ -154,6 +154,23 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("yyyy-MM-dd'T'HH:mm:ssZ", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}{_OFF}$"),
     ("yyyy-MM-dd HH:mm:ssZ", rf"^{_Y4}-{_MM}-{_DD} {_HMS}{_OFF}$"),
     ("yyyy-MM-dd G", rf"^{_Y4}-{_MM}-{_DD} (?:AD|BC)$"),
+    # millis-with-zone / zone-id / compact-offset space and T families
+    # (reference Groups 18/34); VV zone-ids use concrete ASCII classes
+    # (the reference's \p{L} is not in the Java∩RE2∩`re` subset and
+    # misses the '_' in real ids like America/New_York)
+    ("yyyy-MM-dd HH:mm:ss.SSS'Z'", rf"^{_Y4}-{_MM}-{_DD} {_HMS}\.{_MS3}Z$"),
+    ("yyyy-MM-dd HH:mm:ss,SSS'Z'", rf"^{_Y4}-{_MM}-{_DD} {_HMS},{_MS3}Z$"),
+    ("yyyy-MM-dd HH:mm:ss.SSSXXX", rf"^{_Y4}-{_MM}-{_DD} {_HMS}\.{_MS3}{_OFFC}$"),
+    ("yyyy-MM-dd HH:mm:ss,SSSXXX", rf"^{_Y4}-{_MM}-{_DD} {_HMS},{_MS3}{_OFFC}$"),
+    ("yyyy-MM-dd HH:mm:ssX", rf"^{_Y4}-{_MM}-{_DD} {_HMS}[+-](?:0[0-9]|1[0-9]|2[0-3])$"),
+    ("yyyy-MM-dd'T'HH:mm:ss,SSS'Z'", rf"^{_Y4}-{_MM}-{_DD}T{_HMS},{_MS3}Z$"),
+    ("yyyy-MM-dd'T'HH:mm:ssX", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}[+-](?:0[0-9]|1[0-9]|2[0-3])$"),
+    ("yyyy-MM-dd'T'HH:mm:ss.SSSXXX", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}\.{_MS3}{_OFFC}$"),
+    ("yyyy-MM-dd'T'HH:mm:ss,SSSXXX", rf"^{_Y4}-{_MM}-{_DD}T{_HMS},{_MS3}{_OFFC}$"),
+    ("yyyy-MM-dd HH:mm:ss.SSS'['VV']'", rf"^{_Y4}-{_MM}-{_DD} {_HMS}\.{_MS3}\[[A-Za-z]{{4,10}}/[A-Za-z_]{{4,15}}\]$"),
+    ("yyyy-MM-dd'T'HH:mm:ss.SSS'['VV']'", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}\.{_MS3}\[[A-Za-z]{{4,10}}/[A-Za-z_]{{4,15}}\]$"),
+    ("yyyy-MM-dd HH:mm:ssXXX'['VV']'", rf"^{_Y4}-{_MM}-{_DD} {_HMS}{_OFFC}\[[A-Za-z]{{4,10}}/[A-Za-z_]{{4,15}}\]$"),
+    ("yyyy-MM-dd'T'HH:mm:ssXXX'['VV']'", rf"^{_Y4}-{_MM}-{_DD}T{_HMS}{_OFFC}\[[A-Za-z]{{4,10}}/[A-Za-z_]{{4,15}}\]$"),
     # slash family
     ("M/d/yyyy", rf"^{_M}/{_D}/{_Y4}$"),
     ("MM/dd/yyyy", rf"^{_MM}/{_DD}/{_Y4}$"),
@@ -300,6 +317,7 @@ DATE_REGEXES: tuple[tuple[str, str], ...] = (
     ("d MMM yyyy HH:mm:ss z", rf"^{_D} {_MON} {_Y4} {_HMS} {_TZ}$"),
     ("d-MMM-yyyy h:mm:ss a", rf"^{_D}-{_MON}-{_Y4} {_H12M}:[0-5][0-9] (?:AM|PM)$"),
     ("d-MMM-yyyy H.mm.ss", rf"^{_D}-{_MON}-{_Y4} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9]$"),
+    ("dd-MMM-yy hh.mm.ss.nnnnnnnnn a", rf"^{_DD}-{_MON}-{_Y2} (?:0[1-9]|1[0-2])\.[0-5][0-9]\.[0-5][0-9]\.[0-9]{{9}} (?:AM|PM)$"),
     ("d MMMM yyyy HH:mm:ss z", rf"^{_D} {_MONTH} {_Y4} {_HMS} {_TZ}$"),
     ("dd MMMM yyyy HH:mm:ss z", rf"^{_DD} {_MONTH} {_Y4} {_HMS} {_TZ}$"),
     ("d MMMM yyyy H.mm.ss z", rf"^{_D} {_MONTH} {_Y4} (?:[0-9]|1[0-9]|2[0-3])\.[0-5][0-9]\.[0-5][0-9] {_TZ}$"),
@@ -427,6 +445,13 @@ _GATE_MEMBERS: tuple[tuple[str, frozenset[str]], ...] = (
         "yyyy-MM-dd h:mm:ss a", "yyyy-M-d HH:mm:ss", "yyyy-M-d H:mm",
         "yyyy-MM-dd HH.mm.ss", "yyyy-MM-dd'T'HH:mm:ss,SSS",
         "yyyy-MM-dd'T'HH:mm:ssZ", "yyyy-MM-dd HH:mm:ssZ", "yyyy-MM-dd G",
+        "yyyy-MM-dd HH:mm:ss.SSS'Z'", "yyyy-MM-dd HH:mm:ss,SSS'Z'",
+        "yyyy-MM-dd HH:mm:ss.SSSXXX", "yyyy-MM-dd HH:mm:ss,SSSXXX",
+        "yyyy-MM-dd HH:mm:ssX", "yyyy-MM-dd'T'HH:mm:ss,SSS'Z'",
+        "yyyy-MM-dd'T'HH:mm:ssX", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        "yyyy-MM-dd'T'HH:mm:ss,SSSXXX", "yyyy-MM-dd HH:mm:ss.SSS'['VV']'",
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'['VV']'", "yyyy-MM-dd HH:mm:ssXXX'['VV']'",
+        "yyyy-MM-dd'T'HH:mm:ssXXX'['VV']'",
     })),
     (r"^[0-9]{4}/", frozenset({
         "yyyy/MM/dd", "yyyy/M/d", "yyyy/MM/dd HH:mm:ss",
@@ -457,6 +482,7 @@ _GATE_MEMBERS: tuple[tuple[str, frozenset[str]], ...] = (
     (r"^[0-9]{1,2}-[A-Za-z]", frozenset({
         "d-MMM-yyyy", "dd-MMM-yy", "dd-MMM-yyyy", "dd-MMM-yyyy HH:mm:ss",
         "d-MMM-yyyy h:mm:ss a", "d-MMM-yyyy H.mm.ss",
+        "dd-MMM-yy hh.mm.ss.nnnnnnnnn a",
     })),
     (r"^[0-9]{4}\.", frozenset({
         "yyyy.MM.dd", "yyyy.MM.dd HH:mm:ss", "yyyy.MM.dd HH:mm",

@@ -157,7 +157,7 @@ def datetime_pattern_expr(col, patterns: tuple[tuple[str, str], ...] | None = No
     wins; null when none).  Every test is a codegen'd rlike; the cheap
     prefilter gates the cascade (SystemDateTimePatternManager.java:94-95
     device).  Default table = the full DATE_REGEXES/TIME_REGEXES
-    recognition table (167 date + 47 time patterns as of round 5,
+    recognition table (181 date + 47 time patterns as of round 5,
     `functions/typeinfer.py`)."""
     if patterns is not None:
         cascade = F.when(F.lit(False), F.lit(None).cast("string"))

@@ -2304,7 +2304,7 @@ def _datetime_oracle_sql() -> str:
 @_register("datetime_patterns_orders", _datetime_oracle_sql())
 def datetime_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-date/time-pattern profiling (DateTimePatternRecognizer +
-    SystemDateTimePatternManager regex table, 167 date + 47 time formats)
+    SystemDateTimePatternManager regex table, 181 date + 47 time formats)
     over a 16-format mixed column: ISO date/minute/T-millis-Z, RFC-2822,
     unpadded/padded slash, dot, English-month (abbrev + no-comma), CJK
     年月日, 2-digit-year, FRENCH / GERMAN / ITALIAN / PORTUGUESE / DUTCH
