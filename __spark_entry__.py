@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Evidence-priority ordering: the driver's correctness gate samples the FIRST
 # 50 entries of queries(), so this list IS the round-5 sample — weakest prior
 # driver evidence first: (a) queries NEW or CHANGED this round (no driver row
-# exists for their current form: the four round-5 crawl-QA queries; the
+# exists for their current form: the five round-5 crawl-QA/PII queries; the
 # datetime query whose recognition table grew 48→214 formats; the HTML
 # extraction query with numeric charrefs; the four registered_domain
 # consumers on the generated public-suffix table; the four classify()
@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # be rows-checked.
 _PRIORITY = [
     # (a) new or changed in round 5
+    "pii_text_scrub_docs",  # NEW: email+IPv4 text scrub
     "script_profile_docs",  # NEW: per-script codepoint profile
     "mojibake_docs",  # NEW: encoding-artifact QA
     "robots_meta_pages",  # NEW: robots-meta compliance signal
@@ -85,7 +86,6 @@ _PRIORITY = [
     # of the 50 gate slots on them would displace verifiable queries
     # (their rows-only adjudication is already on record since r4).
     "line_dedup_docs",
-    "dedup_clusters_global",
     "quality_pipeline_docs",
     "mfb_clusters_parts",
     "ann_ivf_top3",

@@ -125,3 +125,55 @@ def scrub_valid_cards_sql(text: str, repl: str = "<CARD>") -> str:
         f"c -> {luhn_valid_sql(stripped)}))), "
         f"(acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '{repl}', 'g'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Email / IPv4 text scrub (round 5 — pattern-based PII pass)
+# ---------------------------------------------------------------------------
+
+# Pattern-based (no checksum validation exists for these shapes, unlike
+# cards): word-boundary-anchored, Java∩RE2 common subset.  The email
+# local part deliberately excludes a leading/trailing dot check — the
+# permissive form is the training-data convention (scrub MORE, not
+# less, when the shape is inherently unvalidatable).
+EMAIL_RX = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+# Octet-validated IPv4; the boundary anchors keep version strings like
+# 1.2.3.4.5 from being half-masked: [0-9] is a word char, so \b fails
+# inside a longer dotted run only at the dot — a 5-part run still
+# matches its first four octets.  Both engines behave identically; the
+# residual over-masking on dotted version strings is the same
+# conservative bias as the card scrub's dash-adjacency note.
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_RX = rf"\b{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}\b"
+
+
+def scrub_emails(text: Column, repl: str = "<EMAIL>") -> Column:
+    return F.regexp_replace(text, EMAIL_RX, repl)
+
+
+def scrub_ipv4(text: Column, repl: str = "<IP>") -> Column:
+    return F.regexp_replace(text, IPV4_RX, repl)
+
+
+def count_emails(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_RX)).cast("bigint")
+
+
+def count_ipv4(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(IPV4_RX)).cast("bigint")
+
+
+def scrub_emails_sql(text: str, repl: str = "<EMAIL>") -> str:
+    return f"regexp_replace({text}, '{EMAIL_RX}', '{repl}', 'g')"
+
+
+def scrub_ipv4_sql(text: str, repl: str = "<IP>") -> str:
+    return f"regexp_replace({text}, '{IPV4_RX}', '{repl}', 'g')"
+
+
+def count_emails_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{EMAIL_RX}')) AS BIGINT)"
+
+
+def count_ipv4_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{IPV4_RX}')) AS BIGINT)"

@@ -4276,3 +4276,74 @@ def token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_ch").cast("bigint").alias("total_chars"),
         )
     )
+
+
+def _pii_text_scrub_oracle_sql() -> str:
+    from .functions.pii import (
+        count_emails_sql,
+        count_ipv4_sql,
+        scrub_emails_sql,
+        scrub_ipv4_sql,
+    )
+
+    arms = (
+        "CASE CAST(doc_id % 4 AS INTEGER) "
+        "WHEN 1 THEN (' contact user' || CAST(doc_id % 10 AS VARCHAR) "
+        "|| '@corp.example.org now') "
+        "WHEN 2 THEN (' server at 192.168.1.' || CAST(doc_id % 256 AS VARCHAR) "
+        "|| ' port 8080') "
+        "WHEN 3 THEN ' ver 1.2.3.4.5 and joe.smith+tag@mail.example.co.uk' "
+        "ELSE '' END"
+    )
+    mixed = f"(coalesce(text, '') || {arms})"
+    scrubbed = scrub_ipv4_sql(scrub_emails_sql("v"))
+    return f"""
+    WITH m AS (SELECT doc_id, {mixed} AS v FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      {scrubbed} AS scrubbed,
+      {count_emails_sql("v")} AS n_emails,
+      {count_ipv4_sql("v")} AS n_ips
+    FROM m
+    """
+
+
+@_register("pii_text_scrub_docs", _pii_text_scrub_oracle_sql())
+def pii_text_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based email + IPv4 text scrub over a deterministic PII
+    mix: boundary-anchored masks plus per-doc counts.  Complements the
+    checksum-validated card scrub (`card_scrub_docs`) — these shapes
+    have no checksum, so the training-data convention is the permissive
+    pattern (scrub more, not less; the dotted-version-string arm probes
+    the documented conservative bias).  Pure regexp_replace/regexp_count
+    expressions riding the scan, no fold needed (`functions/pii.py`).
+    Reference analog: the reference VALIDATES emails
+    (`EmailValidator.java`), it never scrubs them from text — extension."""
+    from .functions.pii import count_emails, count_ipv4, scrub_emails, scrub_ipv4
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    arm = (
+        F.when(
+            i % 4 == 1,
+            F.concat(
+                F.lit(" contact user"), (i % 10).cast("string"),
+                F.lit("@corp.example.org now"),
+            ),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit(" server at 192.168.1."), (i % 256).cast("string"),
+                F.lit(" port 8080"),
+            ),
+        )
+        .when(i % 4 == 3, F.lit(" ver 1.2.3.4.5 and joe.smith+tag@mail.example.co.uk"))
+        .otherwise(F.lit(""))
+    )
+    mixed = F.concat(F.coalesce(F.col("text"), F.lit("")), arm)
+    return docs.select(
+        i.cast("bigint").alias("doc_id"),
+        scrub_ipv4(scrub_emails(mixed)).alias("scrubbed"),
+        count_emails(mixed).alias("n_emails"),
+        count_ipv4(mixed).alias("n_ips"),
+    )

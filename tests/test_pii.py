@@ -74,3 +74,33 @@ def test_valid_card_inside_longer_run_not_masked(spark):
     df = spark.createDataFrame([(text,)], ["t"])
     (got,) = df.select(scrub_valid_cards(F.col("t")).alias("s")).collect()[0]
     assert got == "id 41111111111111110000 pay <CARD> end"
+
+
+def test_email_ip_scrub_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.functions.pii import (
+        count_emails,
+        count_ipv4,
+        scrub_emails,
+        scrub_ipv4,
+    )
+
+    cases = [
+        ("mail a.b+c@x.example.org now", "mail <EMAIL> now", 1, 0),
+        ("at 10.0.0.1 and 255.255.255.255", "at <IP> and <IP>", 0, 2),
+        # octet validation: 999 is not an IPv4 octet
+        ("bad 999.1.1.1 stays", "bad 999.1.1.1 stays", 0, 0),
+        # documented conservative bias: 5-part dotted runs mask the
+        # first four octets
+        ("ver 1.2.3.4.5", "ver <IP>.5", 0, 1),
+        ("no pii here", "no pii here", 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in cases], ["t"])
+    got = df.select(
+        scrub_ipv4(scrub_emails(F.col("t"))).alias("s"),
+        count_emails(F.col("t")).alias("e"),
+        count_ipv4(F.col("t")).alias("i"),
+    ).collect()
+    for r, (_, exp_s, exp_e, exp_i) in zip(got, cases):
+        assert (r["s"], r["e"], r["i"]) == (exp_s, exp_e, exp_i)
