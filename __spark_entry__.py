@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # (a) new or changed in round 5
     "pii_text_scrub_docs",  # NEW: email+IPv4 text scrub
+    "dedup_survivors_docs",  # NEW: keep-best-per-cluster survivor selection
     "script_profile_docs",  # NEW: per-script codepoint profile
     "mojibake_docs",  # NEW: encoding-artifact QA
     "robots_meta_pages",  # NEW: robots-meta compliance signal
@@ -85,7 +86,6 @@ _PRIORITY = [
     # a no-oracle slot produces no value-hash evidence, so spending 2
     # of the 50 gate slots on them would displace verifiable queries
     # (their rows-only adjudication is already on record since r4).
-    "line_dedup_docs",
     "quality_pipeline_docs",
     "mfb_clusters_parts",
     "ann_ivf_top3",

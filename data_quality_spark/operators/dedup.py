@@ -527,3 +527,44 @@ def corpus_line_dedup(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def cluster_survivors(
+    labeled: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep-best-per-cluster: for each near-dup cluster, the surviving
+    document is the max-quality member, ties broken by SMALLEST id —
+    the end step of a dedup pipeline (clusters come from
+    `cluster_matches` over MinHash/SimHash pairs; this decides which
+    copy enters the corpus).
+
+    The argmax is one algebraic aggregate — ``max(struct(quality, -id,
+    id))`` compares lexicographically, so map-side combine applies and
+    a boilerplate mega-cluster degrades gracefully (NO per-cluster
+    window; the giant-stratum lesson from `operators/sampling.py`).
+    Shuffle carries (cluster, quality, id) triples only.  The same
+    struct-max runs verbatim in DuckDB, so the selection is oracle-
+    hash-checkable.  Reference analog: survivorship picks field values
+    by rule (`operators/survivorship.py`); this picks whole ROWS by
+    score — training-pipeline extension.
+    """
+    q, i, c = F.col(quality_col), F.col(id_col), F.col(cluster_col)
+    best = labeled.groupBy(c.alias("cluster_id")).agg(
+        F.max(F.struct(q.alias("q"), (-i).alias("nid"), i.alias("id")))["id"]
+        .cast("bigint")
+        .alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+    )
+    return (
+        labeled.select(i.alias("_id"), c.alias("cluster_id"))
+        .join(best, "cluster_id")
+        .select(
+            F.col("_id").cast("bigint").alias(id_col),
+            F.col("cluster_id").cast("bigint").alias(cluster_col),
+            F.col("cluster_size"),
+            (F.col("_id") == F.col("keep_id")).alias("keep"),
+        )
+    )

@@ -3291,8 +3291,10 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Global connected components (dedup-graph clustering; operators/matching.py)
 # ---------------------------------------------------------------------------
 
-_GLOBAL_CC_SQL = """
-    WITH RECURSIVE k1 AS (
+# Recursive-CTE transitive closure over the cross-key chain-edge match
+# graph — shared by dedup_clusters_global and dedup_survivors_docs so
+# the two oracles cannot desynchronize on the cluster labeling.
+_GLOBAL_CC_CTES = """WITH RECURSIVE k1 AS (
       SELECT doc_id, length(text) % 24 AS k FROM documents
     ),
     e1 AS (
@@ -3321,10 +3323,16 @@ _GLOBAL_CC_SQL = """
       UNION
       SELECT e.a, c.lbl FROM comp c JOIN edges e ON e.b = c.id
       WHERE c.lbl < e.a
-    )
-    SELECT CAST(id AS BIGINT) AS doc_id,
-           CAST(min(lbl) AS BIGINT) AS cluster_id
-    FROM comp GROUP BY id
+    ),
+    lab AS (
+      SELECT CAST(id AS BIGINT) AS doc_id,
+             CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM comp GROUP BY id
+    )"""
+
+_GLOBAL_CC_SQL = f"""
+    {_GLOBAL_CC_CTES}
+    SELECT doc_id, cluster_id FROM lab
     """
 
 
@@ -4347,3 +4355,48 @@ def pii_text_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_emails(mixed).alias("n_emails"),
         count_ipv4(mixed).alias("n_ips"),
     )
+
+
+_SURVIVORS_SQL = f"""
+    {_GLOBAL_CC_CTES},
+    q AS (
+      SELECT doc_id AS qid, CAST(length(coalesce(text, '')) AS BIGINT) AS qlen
+      FROM documents
+    ),
+    best AS (
+      SELECT cluster_id,
+        (max(struct_pack(q := qlen, nid := -lab.doc_id, id := lab.doc_id))).id AS keep_id,
+        CAST(count(*) AS BIGINT) AS cluster_size
+      FROM lab JOIN q ON q.qid = lab.doc_id
+      GROUP BY cluster_id
+    )
+    SELECT lab.doc_id AS doc_id, lab.cluster_id AS cluster_id,
+      best.cluster_size AS cluster_size,
+      lab.doc_id = best.keep_id AS keep
+    FROM lab JOIN best USING (cluster_id)
+    """
+
+
+@_register("dedup_survivors_docs", _SURVIVORS_SQL)
+def dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster over the shared global-CC match graph: each
+    near-dup cluster keeps its LONGEST member (ties -> smallest id) —
+    the classic survivor heuristic and the end step of a dedup pipeline
+    (which copy actually enters the corpus).  The argmax is one
+    algebraic ``max(struct(len, -id, id))`` aggregate — map-side combine
+    applies, so a boilerplate mega-cluster never funnels through a
+    per-cluster window; the identical struct-max runs in the oracle.
+    Cluster labels come from the SAME pointer-jumping CC (Spark) /
+    recursive-CTE closure (DuckDB) pair as `dedup_clusters_global`
+    (`operators/dedup.py:cluster_survivors`,
+    `operators/matching.py:cluster_matches`)."""
+    from .operators.dedup import cluster_survivors
+
+    docs = _read(spark, sf_dir, "documents")
+    labels = QUERIES["dedup_clusters_global"](spark, sf_dir)
+    qlen = docs.select(
+        F.col("doc_id"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias("_qlen"),
+    )
+    labeled = labels.join(qlen, "doc_id")
+    return cluster_survivors(labeled, "_qlen", "doc_id", "cluster_id")

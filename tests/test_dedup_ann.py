@@ -246,3 +246,27 @@ def test_benchmark_contamination_semantics(spark):
     assert (out[2]["n_hits"], out[2]["n_shingles"]) == (2, 7)
     assert out[3]["n_hits"] == 0 and out[3]["contamination"] == 0.0
     assert out[4]["n_shingles"] == 0 and out[4]["contamination"] == 0.0
+
+
+def test_cluster_survivors_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.operators.dedup import cluster_survivors
+
+    rows = [
+        # cluster 1: doc 3 longest -> keeps; cluster 2: tie on quality,
+        # smaller id (10) keeps; singleton keeps itself
+        (1, 1, 5), (2, 1, 7), (3, 1, 9),
+        (10, 2, 4), (11, 2, 4),
+        (20, 3, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long, q long")
+    out = {r["doc_id"]: r for r in cluster_survivors(df, "q").collect()}
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, False, True]
+    assert out[3]["cluster_size"] == 3
+    assert out[10]["keep"] is True and out[11]["keep"] is False
+    assert out[20]["keep"] is True and out[20]["cluster_size"] == 1
+    # windowless plan: the argmax must be a HashAggregate, never a
+    # per-cluster Window (the boilerplate-mega-cluster hazard)
+    plan = cluster_survivors(df, "q")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
