@@ -22,16 +22,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Evidence-priority ordering: the driver's correctness gate samples the FIRST
 # 50 entries of queries(), so this list IS the round-5 sample — weakest prior
 # driver evidence first: (a) queries NEW or CHANGED this round (no driver row
-# exists for their current form: the five round-5 crawl-QA/PII queries; the
-# datetime query whose recognition table grew 48→214 formats; the HTML
+# exists for their current form: the six round-5 crawl-QA/PII/survivor queries; the
+# datetime query whose recognition table grew 48→228 formats; the HTML
 # extraction query with numeric charrefs; the four registered_domain
 # consumers on the generated public-suffix table; the four classify()
 # consumers whose type verdicts could shift with the wider date/time tables),
 # then (b) every ORACLE-BACKED query NOT sampled in round 4 (their newest
 # green row is r3 or older — the first-50 rotation rule), then (c) the
 # pinned-VALUES-oracle entries, whose pins can silently drift and therefore
-# always carry the weakest standing evidence, plus two single-r4-green
-# structural operators.  The 36 entries outside the sample have an r4
+# always carry the weakest standing evidence.  The 38 entries outside the
+# sample have an r4
 # hash-green row on unchanged code or (HLL / approx-quantile) can only ever
 # be rows-checked.
 _PRIORITY = [
@@ -42,7 +42,7 @@ _PRIORITY = [
     "mojibake_docs",  # NEW: encoding-artifact QA
     "robots_meta_pages",  # NEW: robots-meta compliance signal
     "token_budget_by_lang",  # NEW: training-mix token rollup
-    "datetime_patterns_orders",  # 214-format table + SQL-CASE dispatch + 16-arm fixture
+    "datetime_patterns_orders",  # 228-format table + SQL-CASE dispatch + 16-arm fixture
     "html_extract_pages",  # numeric character references + fixture refs
     "url_canonical_dedup",  # generated PSL + sentinel-probe registered_domain
     "domain_quality_stats",  # same registered_domain rewrite
@@ -80,7 +80,7 @@ _PRIORITY = [
     "salted_event_counts",
     "top_order_per_status",
     # (c) pinned-oracle entries — pins can drift, keep them under the
-    # gate — plus two single-r4-green structural operators.  The two
+    # gate.  The two
     # by-nature rows-only entries (cardinality_hll,
     # quantiles_approx_lquantity) are deliberately OUTSIDE the sample:
     # a no-oracle slot produces no value-hash evidence, so spending 2

@@ -116,6 +116,8 @@ HEADLINE = [
     "mojibake_docs",
     "robots_meta_pages",
     "token_budget_by_lang",
+    "pii_text_scrub_docs",
+    "dedup_survivors_docs",
 ]
 
 

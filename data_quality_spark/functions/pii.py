@@ -133,11 +133,18 @@ def scrub_valid_cards_sql(text: str, repl: str = "<CARD>") -> str:
 
 # Pattern-based (no checksum validation exists for these shapes, unlike
 # cards): word-boundary-anchored, Java∩RE2 common subset.  The email
-# local part deliberately excludes a leading/trailing dot check — the
-# permissive form is the training-data convention (scrub MORE, not
-# less, when the shape is inherently unvalidatable).
-EMAIL_RX = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
-# Octet-validated IPv4; the boundary anchors keep version strings like
+# BODY is the single shared constant from functions/emailphone.py
+# (EmailValidator semantics) so the repo keeps ONE definition of "what
+# is an email"; scrub.py's SCRUB_RULES email row uses the same body.
+# The permissive local part is the training-data convention (scrub
+# MORE, not less, when the shape is inherently unvalidatable).
+from .emailphone import EMAIL_PATTERN as _EMAIL_ANCHORED  # noqa: E402
+
+EMAIL_RX = r"\b" + _EMAIL_ANCHORED.strip("^$") + r"\b"
+# Octet-validated IPv4 — deliberately STRICTER than scrub.py's shape
+# rule (which masks 999.1.1.1): this pass is the counted/reported one,
+# so false positives cost more than in the bulk scrub chain.
+# The boundary anchors keep version strings like
 # 1.2.3.4.5 from being half-masked: [0-9] is a word char, so \b fails
 # inside a longer dotted run only at the dot — a 5-part run still
 # matches its first four octets.  Both engines behave identically; the

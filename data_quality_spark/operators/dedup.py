@@ -550,7 +550,23 @@ def cluster_survivors(
     hash-checkable.  Reference analog: survivorship picks field values
     by rule (`operators/survivorship.py`); this picks whole ROWS by
     score — training-pipeline extension.
+
+    PRECONDITION: `quality_col` must be NON-NULL (coalesce first).
+    Spark orders a NULL struct field SMALLEST while DuckDB orders it
+    LARGEST, so a null quality would win on the oracle side and lose on
+    the Spark side — a value-hash parity break (verified
+    experimentally, round-5 review).
+
+    `labeled` feeds two branches (the argmax and the membership join);
+    the slim (cluster, id, quality) projection is localCheckpointed so
+    the caller's upstream lineage — typically a documents scan + length
+    + join — executes once, not twice (the multi-consumer diamond rule,
+    CLAUDE.md round 2).
     """
+    q, i, c = F.col(quality_col), F.col(id_col), F.col(cluster_col)
+    labeled = labeled.select(
+        c.alias(cluster_col), i.alias(id_col), q.alias(quality_col)
+    ).localCheckpoint(eager=True)
     q, i, c = F.col(quality_col), F.col(id_col), F.col(cluster_col)
     best = labeled.groupBy(c.alias("cluster_id")).agg(
         F.max(F.struct(q.alias("q"), (-i).alias("nid"), i.alias("id")))["id"]
