@@ -39,6 +39,14 @@ SOAK_QUERIES = [
     "simhash_near_dups",
     "line_dedup_docs",
     "card_scrub_docs",
+    # round-5 widening: URL/rules/repetition/crawl-QA/survivor families
+    "url_canonical_dedup",
+    "domain_quality_stats",
+    "doc_quality_rules",
+    "top_ngram_docs",
+    "script_profile_docs",
+    "pii_text_scrub_docs",
+    "dedup_survivors_docs",
 ]
 
 
